@@ -1,0 +1,223 @@
+"""Mention / triple extraction from transcript text — the triple factory.
+
+Generalization of the reference's "extract metadata facts from each record"
+pattern (/root/reference/utils/model_output_smh.py:65-72 +
+/root/reference/utils/jsonld.py:77-108) to free text: an Arrow-batched
+``mapInPandas`` runs vectorized pandas ``.str.extract`` regexes over each
+batch of turns and emits long-form mention rows. No per-row Python in the
+hot path (BASELINE.json input_hint): each pattern is applied to the whole
+batch Series at once.
+
+Output schema (long form; one row per extracted mention):
+    conv_id, turn_idx, kind, f1..f7
+kinds:
+    round        f1=round_id
+    header       f1=model_name f2=version f3=team_abbr f4=model_abbr f5=team_name
+    kv           f1=key f2=value            (license/website/funding/...)
+    contributor  f1=name f2=email f3=affiliation
+    file         f1=filename
+    fact         f1=target f2=location f3=age_group f4=output_type
+                 f5=scenario f6=origin_date f7=horizon
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, kind string, f1 string, f2 string,"
+    " f3 string, f4 string, f5 string, f6 string, f7 string"
+)
+
+_PAT_ROUND = r"^Round (\d{4}-\d{2}-\d{2}) submission session\."
+_PAT_HEADER = (
+    r"^submitting model (\S+) version (\S+) team_abbr \[([^\]]*)\]"
+    r" model_abbr \[([^\]]+)\] from team \[([^\]]+)\]\."
+)
+_PAT_KV = r"^(license|website|funding|methods_long|methods|data_inputs): (.*)$"
+_PAT_CONTRIB = r"^contributor: (.+?) <(.+?)> \((.*)\)$"
+_PAT_FILE = r"^uploaded file (\S+)$"
+_PAT_FACT = (
+    r"^observed target=([^;]+); location=([^;]+); age_group=([^;]+);"
+    r" output_type=([^;]+); scenario=([^;]+); origin_date=([^;]+); horizon=(\d+)$"
+)
+
+_COLS = ["conv_id", "turn_idx", "kind", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]
+
+
+def _emit(pdf: pd.DataFrame, mask: pd.Series, groups: pd.DataFrame, kind: str) -> pd.DataFrame:
+    """Assemble mention rows for one pattern's matches (whole-batch ops)."""
+    hit = groups[mask]
+    out = pd.DataFrame(
+        {
+            "conv_id": pdf.loc[mask, "conv_id"].values,
+            "turn_idx": pdf.loc[mask, "turn_idx"].values,
+            "kind": kind,
+        }
+    )
+    for i in range(7):
+        vals = hit[i].values if i in hit.columns else None
+        out[f"f{i + 1}"] = pd.Series(vals, index=out.index, dtype="object")
+    return out
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> mentions."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        patterns = [
+            ("round", _PAT_ROUND),
+            ("header", _PAT_HEADER),
+            ("kv", _PAT_KV),
+            ("contributor", _PAT_CONTRIB),
+            ("file", _PAT_FILE),
+            ("fact", _PAT_FACT),
+        ]
+        for pdf in batches:
+            text = pdf["text"].astype("string")
+            frames = []
+            for kind, pat in patterns:
+                groups = text.str.extract(pat)  # vectorized over the batch
+                mask = groups[0].notna()
+                if mask.any():
+                    frames.append(_emit(pdf, mask, groups, kind))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)[_COLS]
+            else:
+                yield pd.DataFrame(columns=_COLS)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        gen, schema=MENTION_SCHEMA
+    )
+
+
+def conversation_dim(mentions: DataFrame) -> DataFrame:
+    """Per-conversation identity: round_id + model header fields.
+
+    One hash agg over the (small-per-conv) header/round mentions only —
+    filtered BEFORE the shuffle so fact mentions never move here.
+    """
+    headers = mentions.filter(F.col("kind").isin("round", "header"))
+    return headers.groupBy("conv_id").agg(
+        F.first(F.when(F.col("kind") == "round", F.col("f1")), ignorenulls=True).alias(
+            "round_id"
+        ),
+        F.first(F.when(F.col("kind") == "header", F.col("f1")), ignorenulls=True).alias(
+            "model_name"
+        ),
+        F.first(F.when(F.col("kind") == "header", F.col("f2")), ignorenulls=True).alias(
+            "model_version"
+        ),
+        F.first(F.when(F.col("kind") == "header", F.col("f3")), ignorenulls=True).alias(
+            "team_abbr"
+        ),
+        F.first(F.when(F.col("kind") == "header", F.col("f4")), ignorenulls=True).alias(
+            "model_abbr"
+        ),
+        F.first(F.when(F.col("kind") == "header", F.col("f5")), ignorenulls=True).alias(
+            "team_name"
+        ),
+    )
+
+
+_KV_FIELDS = {
+    "license": "license",
+    "website": "website_url",
+    "funding": "team_funding",
+    "methods": "methods",
+    "methods_long": "methods_long",
+    "data_inputs": "data_inputs",
+}
+
+
+def metadata_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFrame:
+    """Reconstruct the model-metadata dimension from kv/contributor mentions.
+
+    Matches sources.synth.METADATA_SCHEMA so the hub pipeline is reusable
+    unchanged. Contributor order is preserved by turn_idx (the stable
+    (conv_id, turn_idx) ordering invariant).
+    """
+    kv = mentions.filter(F.col("kind") == "kv")
+    kv_aggs = [
+        F.first(F.when(F.col("f1") == src, F.col("f2")), ignorenulls=True).alias(dst)
+        for src, dst in _KV_FIELDS.items()
+    ]
+    kv_wide = kv.groupBy("conv_id").agg(*kv_aggs)
+
+    contribs = (
+        mentions.filter(F.col("kind") == "contributor")
+        .groupBy("conv_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("turn_idx").alias("k"),
+                            F.struct(
+                                F.col("f1").alias("name"),
+                                # '()' verbalizes a missing affiliation
+                                F.when(F.length("f3") > 0, F.col("f3")).alias(
+                                    "affiliation"
+                                ),
+                                F.col("f2").alias("email"),
+                            ).alias("v"),
+                        )
+                    ),
+                    lambda l, r: F.when(l["k"] < r["k"], -1)
+                    .when(l["k"] > r["k"], 1)
+                    .otherwise(0),
+                ),
+                lambda x: x["v"],
+            ).alias("model_contributors")
+        )
+    )
+
+    return (
+        conv_dim.join(kv_wide, "conv_id", "left")
+        .join(contribs, "conv_id", "left")
+        .select(
+            "round_id",
+            "model_name",
+            "team_abbr",
+            "model_abbr",
+            "team_name",
+            "model_version",
+            "license",
+            "website_url",
+            "methods",
+            "methods_long",
+            "data_inputs",
+            "team_funding",
+            "model_contributors",
+        )
+    )
+
+
+def facts_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFrame:
+    """Fact mentions -> raw fact rows (location still a surface form —
+    entity linking happens downstream in operators.link)."""
+    facts = mentions.filter(F.col("kind") == "fact")
+    return facts.join(conv_dim.select("conv_id", "round_id", "model_name"), "conv_id").select(
+        "round_id",
+        F.col("model_name").alias("model_id"),
+        F.to_date("f6").alias("origin_date"),
+        F.col("f5").alias("scenario_id"),
+        F.col("f2").alias("location_surface"),
+        F.col("f3").alias("age_group"),
+        F.col("f1").alias("target"),
+        F.col("f7").cast("int").alias("horizon"),
+        F.col("f4").alias("output_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+
+
+def files_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFrame:
+    return (
+        mentions.filter(F.col("kind") == "file")
+        .join(conv_dim.select("conv_id", "round_id", "model_name"), "conv_id")
+        .select("round_id", F.col("model_name").alias("model_id"), F.col("f1").alias("filename"))
+    )

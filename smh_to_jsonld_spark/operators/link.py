@@ -1,0 +1,175 @@
+"""Entity linking: blocked candidate generation + broadcast alias dictionary
++ salted repartitioning for head-entity skew.
+
+Generalizes the reference's lookup-dict joins (J1/J2/J3:
+/root/reference/utils/location.py:74-112,
+/root/reference/pipeline/jsonld_to_html.py:384-405) into the KG linking
+stage mandated by BASELINE.json north_star:
+
+1. exact pass — normalize surface form, broadcast-join the alias dict
+   (dictionary is config-sized; NEVER shuffle the mention table for it);
+2. fuzzy pass — only the exact-pass MISSES (a tiny fraction) go through
+   token-prefix blocking + trigram-Jaccard scoring against the dictionary,
+   then top-1 per surface form;
+3. misses keep their surface form (the reference emits "Unknown" nodes on
+   lookup miss rather than dropping rows — same row-preserving contract).
+
+Skew: at 10^12 turns the head entity ("US") dominates mention counts. Plain
+groupBy(entity).agg(collect_set(...)) puts one hot key on one reducer;
+``salted_collect_set``/``salted_count`` do a two-phase agg
+(key+salt partial -> key final) so the hot key fans out over S reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def normalize_surface(col):
+    """lower + trim + strip trailing punctuation — the cheap, always-safe
+    normalization applied before any dictionary work."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"[.\s]+$", "")
+
+
+def link_exact(
+    mentions: DataFrame, alias_dim: DataFrame, surface_col: str = "location_surface"
+) -> DataFrame:
+    """Broadcast alias-dict join. Adds `canonical` (NULL on miss)."""
+    norm = normalize_surface(F.col(surface_col)).alias("__norm")
+    return mentions.withColumn("__norm", norm).join(
+        F.broadcast(alias_dim.select(F.col("alias").alias("__norm"),
+                                     F.col("canonical"))),
+        "__norm",
+        "left",
+    ).drop("__norm")
+
+
+def _trigrams(col):
+    # sliding 3-grams via sequence+transform (pure Catalyst, no UDF)
+    padded = F.concat(F.lit("  "), col, F.lit("  "))
+    n = F.length(padded) - 2
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: padded.substr(i, F.lit(3)))
+    )
+
+
+def fuzzy_candidates(
+    misses: DataFrame,
+    alias_dim: DataFrame,
+    surface_col: str = "surface",
+    block_prefix: int = 2,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Blocked fuzzy matching of DISTINCT unresolved surface forms.
+
+    Candidate generation is an equi-join on the first `block_prefix` chars
+    (token-prefix blocking) — the classic trick to avoid the O(n*m)
+    cross join. Scoring is trigram Jaccard via array_intersect/array_union
+    (pure Catalyst). Returns (surface, canonical, score), top-1 per surface.
+    """
+    left = (
+        misses.select(normalize_surface(F.col(surface_col)).alias("surface"))
+        .distinct()
+        .withColumn("block", F.substring("surface", 1, block_prefix))
+        .withColumn("grams", _trigrams(F.col("surface")))
+    )
+    right = (
+        alias_dim.select(F.col("alias"), F.col("canonical"))
+        .withColumn("block", F.substring("alias", 1, block_prefix))
+        .withColumn("agrams", _trigrams(F.col("alias")))
+    )
+    scored = (
+        left.join(F.broadcast(right), "block")
+        .withColumn(
+            "score",
+            F.size(F.array_intersect("grams", "agrams"))
+            / F.size(F.array_union("grams", "agrams")),
+        )
+        .filter(F.col("score") >= min_jaccard)
+    )
+    from smh_to_jsonld_spark.operators.aggregates import top1_per_group
+
+    ranked = scored.select("surface", "canonical", "score", "alias")
+    # deterministic top-1: score desc, then alias asc as tiebreak
+    best = top1_per_group(
+        ranked.withColumn("__ord", F.struct(F.col("score"), F.lit(1) - F.length("alias"))),
+        ["surface"],
+        "__ord",
+        desc=True,
+    )
+    return best.select("surface", "canonical", "score")
+
+
+def link_locations(
+    facts: DataFrame, spark: SparkSession, surface_col: str = "location_surface"
+) -> DataFrame:
+    """Full linking pass: exact broadcast join, fuzzy for residuals,
+    surface-form passthrough for true misses. Adds `location`.
+
+    The fuzzy join operates on DISTINCT unresolved surfaces (bounded by
+    vocabulary, not corpus size) and is broadcast back onto the fact table
+    — the big table is never shuffled by this stage.
+    """
+    from smh_to_jsonld_spark.functions.dims import alias_dim
+
+    dim = alias_dim(spark)
+    exact = link_exact(facts, dim, surface_col)
+    miss_surfaces = exact.filter(F.col("canonical").isNull()).select(
+        normalize_surface(F.col(surface_col)).alias("surface")
+    )
+    fuzzy = fuzzy_candidates(miss_surfaces, dim).select(
+        F.col("surface").alias("__fsurf"), F.col("canonical").alias("__fcanon")
+    )
+    out = (
+        exact.withColumn("__norm2", normalize_surface(F.col(surface_col)))
+        .join(F.broadcast(fuzzy), F.col("__norm2") == F.col("__fsurf"), "left")
+        .withColumn(
+            "location",
+            F.coalesce(F.col("canonical"), F.col("__fcanon"), F.col(surface_col)),
+        )
+        .drop("__norm2", "__fsurf", "__fcanon", "canonical")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Skew-defusing two-phase aggregations
+# ---------------------------------------------------------------------------
+
+def salted_count(df: DataFrame, key_cols, salt_buckets: int = 16) -> DataFrame:
+    """count(*) per key with an explicit salt stage.
+
+    (Spark's hash agg already does map-side partial counts; the explicit
+    salt matters when the planner falls back to object agg or when the
+    final agg itself is the bottleneck — and it documents the pattern the
+    north_star requires.)
+    """
+    keys = [F.col(k) for k in (key_cols if isinstance(key_cols, (list, tuple)) else [key_cols])]
+    salt = F.pmod(F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+                  F.lit(salt_buckets)).alias("__salt")
+    partial = df.select(*keys, salt).groupBy(*keys, "__salt").agg(F.count("*").alias("__c"))
+    return partial.groupBy(*keys).agg(F.sum("__c").alias("count"))
+
+
+def salted_collect_set(
+    df: DataFrame, key_cols, value_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """collect_set(value) per key, two-phase: hot keys fan out over
+    `salt_buckets` reducers in phase 1, then tiny per-key set-union in
+    phase 2. Use whenever a collected set per key can be large AND keys
+    are skewed (head entities)."""
+    keys = key_cols if isinstance(key_cols, (list, tuple)) else [key_cols]
+    salt = F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(salt_buckets)).alias(
+        "__salt"
+    )
+    partial = (
+        df.select(*[F.col(k) for k in keys], F.col(value_col), salt)
+        .groupBy(*keys, "__salt")
+        .agg(F.collect_set(value_col).alias("__s"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("__s")))).alias(
+            f"{value_col}_set"
+        )
+    )

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from smh_to_jsonld_spark.operators import aggregates, emit
+from pyspark.sql import functions as F
+
+from smh_to_jsonld_spark.operators import aggregates, emit, extract, link
 from smh_to_jsonld_spark.operators.triples import triples_from_docs
 
 
@@ -45,3 +47,49 @@ def hub_pipeline_from_frames(
         "consolidated": consolidated,
         "triples": triples,
     }
+
+
+def kg_pipeline_from_transcripts(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    target_meta: DataFrame,
+    diseases: DataFrame,
+) -> dict:
+    """The full triple factory over the authoritative input table
+    (conv_id, turn_idx, role, text, tool, ts):
+
+    1. extract   — Arrow-batched pattern extraction -> mention rows
+    2. link      — broadcast alias dict + blocked fuzzy matching resolves
+                   location surface forms to canonical FIPS
+    3. rebuild   — metadata / facts / files frames from mentions
+    4. hub       — the SAME downstream JSON-LD pipeline as the reference
+    5. flatten   — docs -> (subj, pred, obj) triples
+
+    target_meta / diseases are config dims (the reference's tasks.json),
+    broadcast-sized by construction.
+    """
+    mentions = extract.extract_mentions(transcripts)
+    conv_dim = extract.conversation_dim(mentions)
+
+    metadata = extract.metadata_from_mentions(mentions, conv_dim)
+    files = extract.files_from_mentions(mentions, conv_dim)
+
+    raw_facts = extract.facts_from_mentions(mentions, conv_dim)
+    facts = link.link_locations(raw_facts, spark).drop("location_surface")
+
+    result = hub_pipeline_from_frames(spark, metadata, facts, files, target_meta, diseases)
+    result["mentions"] = mentions
+    result["facts"] = facts
+    return result
+
+
+def turn_order_check(transcripts: DataFrame) -> int:
+    """Per-turn text equality under stable (conv_id, turn_idx) window
+    ordering (BASELINE.json input_hint invariant): re-sequence every
+    conversation through a window and count turns whose text moved.
+    Returns the number of violations (0 = invariant holds)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    reseq = transcripts.withColumn("__rn", F.row_number().over(w) - 1)
+    return reseq.filter(F.col("__rn") != F.col("turn_idx")).count()

@@ -30,7 +30,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smh_to_jsonld_spark.functions.dims import fips_rows
+from smh_to_jsonld_spark.functions.dims import fips_rows, fips_to_name_map, name_to_abbr_map
 
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
@@ -297,6 +297,22 @@ def diseases_df(spark: SparkSession, spec: dict) -> DataFrame:
 # Renderer: spec -> transcript turns (the authoritative engine input)
 # ---------------------------------------------------------------------------
 
+def _alias_of(fips: str, i: int) -> str:
+    """Deterministically verbalize a location as one of its surface forms:
+    raw FIPS, full state name, abbreviation, or a lightly-fuzzed name
+    (trailing dot / odd case) that only FUZZY linking can resolve.
+
+    This is what makes the transcript path a genuine entity-linking
+    problem rather than string passthrough.
+    """
+    name = fips_to_name_map().get(fips)
+    if name is None:  # county codes etc. — no alias, raw passthrough
+        return fips
+    abbr = name_to_abbr_map()[name]
+    forms = [fips, name, abbr, name + ".", name.upper(), abbr.lower()]
+    return forms[i % len(forms)]
+
+
 def _verbalize_model(round_id: str, mdl: dict) -> list:
     """Turn one model submission into conversation turns (role, text, tool)."""
     md = mdl["metadata"]
@@ -328,6 +344,7 @@ def _verbalize_model(round_id: str, mdl: dict) -> list:
         turns.append(("tool", f"uploaded file {fn}", "upload"))
     f = mdl["facts"]
     od = f["origin_date"][0]
+    i = 0
     for sid in f["scenario_id"]:
         for loc in f["location"]:
             for ag in f["age_group"]:
@@ -337,12 +354,14 @@ def _verbalize_model(round_id: str, mdl: dict) -> list:
                             turns.append(
                                 (
                                     "tool",
-                                    f"observed target={tgt}; location={loc}; age_group={ag};"
+                                    f"observed target={tgt};"
+                                    f" location={_alias_of(loc, i)}; age_group={ag};"
                                     f" output_type={ot}; scenario={sid};"
                                     f" origin_date={od}; horizon={h}",
                                     "validate",
                                 )
                             )
+                            i += 1
     turns.append(("assistant", f"Submission for {name} complete.", None))
     return turns
 
@@ -388,13 +407,23 @@ def transcripts_at_scale(
     conv = (F.col("id") / turns_per_conv).cast("long")
     turn = (F.col("id") % turns_per_conv).cast("int")
     model_i = F.pmod(F.xxhash64(conv.cast("string"), F.lit("m")), F.lit(n_models))
-    # skew: ~60% of location mentions hit the head entity 'US'
+    # skew: ~60% of location mentions hit the head entity 'US';
+    # surface form cycles fips/name/abbr so linking has real work
     loc_h = F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit("loc")), F.lit(100))
-    state = F.element_at(
-        F.array(*[F.lit(f) for f, _, _ in fips_rows() if f != "US"]),
-        (F.pmod(loc_h, F.lit(56)) + 1).cast("int"),
+    states = [(f, a, n) for f, a, n in fips_rows() if f != "US"]
+    idx = (F.pmod(loc_h, F.lit(56)) + 1).cast("int")
+    form = F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit("form")), F.lit(3))
+    state = (
+        F.when(form == 0, F.element_at(F.array(*[F.lit(f) for f, _, _ in states]), idx))
+        .when(form == 1, F.element_at(F.array(*[F.lit(n) for _, _, n in states]), idx))
+        .otherwise(F.element_at(F.array(*[F.lit(a) for _, a, _ in states]), idx))
     )
-    loc = F.when(loc_h < 60, F.lit("US")).otherwise(state)
+    head = (
+        F.when(form == 0, F.lit("US"))
+        .when(form == 1, F.lit("United States"))
+        .otherwise(F.lit("us"))
+    )
+    loc = F.when(loc_h < 60, head).otherwise(state)
     tgt = F.element_at(
         F.array(F.lit("inc hosp"), F.lit("peak inc hosp"), F.lit("cum hosp")),
         (F.pmod(F.xxhash64(F.col("id").cast("string"), F.lit("t")), F.lit(3)) + 1).cast("int"),

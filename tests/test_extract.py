@@ -1,0 +1,58 @@
+"""Extraction tier: transcripts -> mentions -> reconstructed frames."""
+
+from pyspark.sql import functions as F
+
+from smh_to_jsonld_spark.operators import extract
+from smh_to_jsonld_spark.plans.pipeline import turn_order_check
+from smh_to_jsonld_spark.sources import synth
+
+
+def test_turn_order_invariant(spark, spec):
+    assert turn_order_check(synth.transcripts_df(spark, spec)) == 0
+
+
+def test_mention_kinds_present(spark, spec):
+    m = extract.extract_mentions(synth.transcripts_df(spark, spec))
+    kinds = {r.kind for r in m.select("kind").distinct().collect()}
+    assert kinds == {"round", "header", "kv", "contributor", "file", "fact"}
+
+
+def test_conversation_dim(spark, spec):
+    m = extract.extract_mentions(synth.transcripts_df(spark, spec))
+    cd = extract.conversation_dim(m)
+    row = cd.filter(F.col("conv_id") == "conv-2031-01-05-team0-modelA").first()
+    assert row.round_id == "2031-01-05"
+    assert row.model_name == "team0-modelA"
+    assert row.team_abbr == "team0"
+    assert row.team_name == "Team 0 Lab"
+
+
+def test_metadata_roundtrip_equals_direct_frames(spark, spec):
+    """Reconstructed metadata from TEXT must equal the directly-rendered
+    metadata dimension (the per-turn text-equality invariant made useful)."""
+    m = extract.extract_mentions(synth.transcripts_df(spark, spec))
+    cd = extract.conversation_dim(m)
+    rebuilt = extract.metadata_from_mentions(m, cd)
+    direct = synth.metadata_df(spark, spec)
+
+    cols = sorted(direct.columns)
+    a = {tuple(str(x) for x in r) for r in rebuilt.select(*cols).collect()}
+    b = {tuple(str(x) for x in r) for r in direct.select(*cols).collect()}
+    assert a == b
+
+
+def test_facts_roundtrip_counts(spark, spec):
+    m = extract.extract_mentions(synth.transcripts_df(spark, spec))
+    cd = extract.conversation_dim(m)
+    rebuilt = extract.facts_from_mentions(m, cd)
+    assert rebuilt.count() == len(synth.facts_rows(spec))
+
+
+def test_files_roundtrip(spark, spec):
+    m = extract.extract_mentions(synth.transcripts_df(spark, spec))
+    cd = extract.conversation_dim(m)
+    rebuilt = extract.files_from_mentions(m, cd)
+    direct = synth.files_df(spark, spec)
+    a = {tuple(r) for r in rebuilt.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b

@@ -1,0 +1,159 @@
+"""Operator-level tests: aggregations, joins, linking, connected components."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from smh_to_jsonld_spark.functions.dims import alias_dim
+from smh_to_jsonld_spark.operators import aggregates, canon, joins, link
+from smh_to_jsonld_spark.sources import synth
+
+
+def test_distinct_field_values(spark, spec):
+    fv = aggregates.distinct_field_values(synth.facts_df(spark, spec))
+    row = fv.filter(
+        (F.col("round_id") == "2031-01-05") & (F.col("model_id") == "team0-modelA")
+    ).first()
+    assert row.target == ["inc hosp"]
+    assert row.horizon == [1, 2]
+    assert row.max_horizon == 2
+    assert "US" in row.location and "06037" in row.location
+    assert row.output_type == ["quantile"]
+
+
+def test_merge_field_values_global(spark, spec):
+    fv = aggregates.distinct_field_values(synth.facts_df(spark, spec))
+    g = aggregates.merge_field_values_global(fv).filter(F.col("round_id") == "2031-01-05")
+    row = g.first()
+    assert set(row.target) == {"inc hosp", "peak inc hosp", "cum hosp"}
+    assert row.output_type == ["quantile", "sample"]
+
+
+def test_file_type_histogram(spark, spec):
+    hist = aggregates.file_type_histogram(synth.files_df(spark, spec))
+    row = hist.filter(
+        (F.col("round_id") == "2031-01-05") & (F.col("model_id") == "team2-modelC")
+    ).first()
+    # m=2: 1 plain parquet + 2 gz (see synth.corpus_spec)
+    assert (row.n_parquet, row.n_gz_parquet) == (1, 2)
+
+
+def test_top1_per_group(spark):
+    df = spark.createDataFrame(
+        [("r1", "v1", 1), ("r1", "v2", 2), ("r2", "v9", 9)], "k string, v string, o int"
+    )
+    got = {
+        (r.k, r.v) for r in aggregates.top1_per_group(df, ["k"], "o", desc=True).collect()
+    }
+    assert got == {("r1", "v2"), ("r2", "v9")}
+
+
+def test_location_lookup_miss_still_emits(spark):
+    df = spark.createDataFrame([("06",), ("99",), ("06037",)], "location string")
+    got = {r.location: r.location_name for r in joins.location_lookup(df, spark).collect()}
+    assert got["06"] == "California"
+    assert got["99"] == "Unknown state code: 99"
+    assert got["06037"] == "County code 037, California"
+
+
+def test_observed_target_semi_join_empty_bypass(spark):
+    tm = spark.createDataFrame(
+        [("r1", "t1"), ("r1", "t2")], "round_id string, target_id string"
+    )
+    observed = spark.createDataFrame(
+        [("r1", "m1", "t1"), ("r1", "m2", "zzz")],
+        "round_id string, model_id string, target_id string",
+    )
+    got = joins.observed_target_join(tm, observed)
+    m1 = {r.target_id for r in got.filter(F.col("model_id") == "m1").collect()}
+    assert m1 == {"t1"}
+    # m2 observed only unknown targets => non-empty set, no metadata match
+    m2 = {r.target_id for r in got.filter(F.col("model_id") == "m2").collect()}
+    assert m2 == set()
+
+
+def test_roster_check(spark):
+    expected = spark.createDataFrame([("a",), ("b",)], "name string")
+    actual = spark.createDataFrame([("b",), ("c",)], "name string")
+    got = joins.roster_check(expected, actual, "name")
+    assert got == {"missing": ["a"], "extra": ["c"]}
+
+
+def test_link_exact_and_fuzzy(spark):
+    facts = spark.createDataFrame(
+        [
+            ("California",),   # exact (name)
+            ("CA",),           # exact (abbr)
+            ("06",),           # exact (fips)
+            ("CALIFORNIA.",),  # normalize + exact
+            ("Californa",),    # typo -> fuzzy trigram match
+            ("06037",),        # not in dict -> passthrough
+        ],
+        "location_surface string",
+    )
+    got = {r.location_surface: r.location for r in link.link_locations(facts, spark).collect()}
+    assert got["California"] == "06"
+    assert got["CA"] == "06"
+    assert got["06"] == "06"
+    assert got["CALIFORNIA."] == "06"
+    assert got["Californa"] == "06"
+    assert got["06037"] == "06037"
+
+
+def test_salted_collect_set_matches_plain(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v")
+    )
+    salted = {
+        r.k: list(r.v_set) for r in link.salted_collect_set(df, ["k"], "v", 8).collect()
+    }
+    plain = {
+        r.k: sorted(r.s)
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("s")).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_count_matches_plain(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 3).alias("k"))
+    salted = {r.k: r["count"] for r in link.salted_count(df, ["k"], 8).collect()}
+    plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    assert salted == plain
+
+
+def test_connected_components_and_iri_stability(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2"), ("p2", "p3"), ("p3", "p4")],
+        "src string, dst string",
+    )
+    cc = canon.connected_components(edges)
+    comp = {r.vertex: r.component for r in cc.collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["p"] == comp["p4"] == "p"
+
+    iris = canon.mint_component_iris(cc)
+    by_vertex = {r.vertex: r.iri for r in iris.collect()}
+    assert by_vertex["a"] == by_vertex["c"]
+    assert by_vertex["a"] != by_vertex["x"]
+    # stable under recomputation
+    iris2 = {r.vertex: r.iri for r in canon.mint_component_iris(cc).collect()}
+    assert by_vertex == iris2
+
+
+def test_sameas_edges_from_linking(spark):
+    linked = spark.createDataFrame(
+        [("california", "06"), ("ca", "06"), ("06", "06"), (None, "06")],
+        "surface string, canonical string",
+    )
+    got = {
+        (r.src, r.dst)
+        for r in canon.sameas_edges_from_linking(linked, "surface", "canonical").collect()
+    }
+    assert got == {("california", "06"), ("ca", "06")}
+
+
+def test_alias_dim_covers_all_forms(spark):
+    dim = alias_dim(spark)
+    aliases = {r.alias for r in dim.collect()}
+    assert {"california", "ca", "06", "united states", "us"} <= aliases
