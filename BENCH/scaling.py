@@ -1,0 +1,109 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule: throughput
+scaling efficiency >= 0.8 between N and 4N executors).
+
+Sandbox protocol (no real cluster): run the IDENTICAL transcript-KG job
+(extraction -> linking -> per-model aggregation) on the same deterministic
+input at local[8] and local[32], shuffle partitions scaled with cores.
+Efficiency = (T_8 / T_32) / 4.
+
+Each parallelism level runs in a fresh subprocess (a JVM cannot change its
+master). Results are written to BENCH/BASELINE.md.
+
+Usage: python BENCH/scaling.py [n_conversations] [turns_per_conv]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from datetime import datetime, timezone
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from smh_to_jsonld_spark.session import get_spark
+from smh_to_jsonld_spark.operators import extract, link
+from smh_to_jsonld_spark.sources import synth
+
+cores = {cores}
+n_conv = {n_conv}
+turns = {turns}
+spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores * 2)
+spark.range(10_000_000).selectExpr("sum(id)").collect()  # warmup
+
+tr = synth.transcripts_at_scale(spark, n_conv, turns, partitions=cores * 2).persist()
+n_turns = tr.count()  # materialize input outside the timed window
+
+best = None
+for trial in range({trials}):
+    t0 = time.perf_counter()
+    mentions = extract.extract_mentions(tr)
+    conv_dim = extract.conversation_dim(mentions)
+    facts = link.link_locations(extract.facts_from_mentions(mentions, conv_dim), spark)
+    agg = facts.groupBy("round_id", "model_id").agg(
+        *[F.collect_set(c).alias(c) for c in ("location", "target", "output_type")],
+        F.max("horizon").alias("max_horizon"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"cores": cores, "sec": round(best, 3), "turns": n_turns,
+                   "turns_per_sec": round(n_turns / best, 1)}}))
+"""
+
+
+def run_level(cores: int, n_conv: int, turns: int, trials: int = 2) -> dict:
+    code = RUNNER.format(repo=str(REPO), cores=cores, n_conv=n_conv, turns=turns, trials=trials)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"runner failed (cores={cores}):\n{out.stderr[-3000:]}")
+    return json.loads(lines[-1])
+
+
+def main():
+    n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+
+    r8 = run_level(8, n_conv, turns)
+    r32 = run_level(32, n_conv, turns)
+    efficiency = (r8["sec"] / r32["sec"]) / 4.0
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+
+Generated {stamp} by `python BENCH/scaling.py {n_conv} {turns}`.
+
+Job: transcript KG pipeline core (Arrow-batched mention extraction ->
+broadcast alias linking (exact + blocked fuzzy) -> per-model distinct-value
+aggregation) over {r8["turns"]:,} deterministic synthetic turns
+(`sources.synth.transcripts_at_scale`, 60% head-entity skew), identical
+input at both parallelism levels; best of 2 trials; noop sink.
+
+Sandbox stand-in for N vs 4N executors (driver protocol): `local[8]` vs
+`local[32]`, shuffle partitions = 2x cores.
+
+| level | cores | wall sec | turns/sec |
+|---|---|---|---|
+| N  | 8  | {r8["sec"]} | {r8["turns_per_sec"]:,} |
+| 4N | 32 | {r32["sec"]} | {r32["turns_per_sec"]:,} |
+
+**Scaling efficiency (T_8 / T_32) / 4 = {efficiency:.3f}**
+(target >= 0.8 per BASELINE.json north_rule)
+"""
+    out_path = REPO / "BENCH" / "BASELINE.md"
+    out_path.write_text(md)
+    print(md)
+    print(json.dumps({"r8": r8, "r32": r32, "efficiency": round(efficiency, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full compute, no driver
+collect). The transcript KG throughput section synthesizes turns
+distributively (sources.synth.transcripts_at_scale) and reports turns/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "pricing_summary",
+    "distinct_values_per_group",
+    "broadcast_lookup",
+    "top1_per_group",
+    "semi_join",
+    "events_daily",
+    "kg_mentions",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "exact_dedup_stats",
+    "jaccard_pairs",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "embedding_neardup_lsh",
+    "multimodal_features",
+    "transcript_triples",
+]
+
+KG_CONVERSATIONS = int(os.environ.get("SMHKG_BENCH_CONVS", "20000"))
+KG_TURNS_PER_CONV = int(os.environ.get("SMHKG_BENCH_TURNS", "24"))
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+    from smh_to_jsonld_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32)
+    )
+    spark.range(10_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    qs = entrymod.queries()
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # transcript KG throughput: synthesize -> extract -> link -> aggregate
+    from pyspark.sql import functions as F
+
+    from smh_to_jsonld_spark.operators import extract, link
+    from smh_to_jsonld_spark.sources import synth
+
+    n_turns = KG_CONVERSATIONS * KG_TURNS_PER_CONV
+    tr = synth.transcripts_at_scale(
+        spark, KG_CONVERSATIONS, KG_TURNS_PER_CONV, partitions=cpus * 2
+    ).persist()
+    tr.count()  # materialize input outside the timed section
+
+    t0 = time.perf_counter()
+    mentions = extract.extract_mentions(tr)
+    conv_dim = extract.conversation_dim(mentions)
+    facts = link.link_locations(extract.facts_from_mentions(mentions, conv_dim), spark)
+    agg = facts.groupBy("round_id", "model_id").agg(
+        *[F.collect_set(c).alias(c) for c in ("location", "target", "output_type")],
+        F.max("horizon").alias("max_horizon"),
+    )
+    _materialize(agg)
+    kg_dt = time.perf_counter() - t0
+    tr.unpersist()
+    timings["kg_extract_link_agg"] = round(kg_dt, 3)
+    total += kg_dt
+
+    result = {
+        "metric": "e2e_headline_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "kg_turns": n_turns,
+        "kg_turns_per_sec": round(n_turns / kg_dt, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Text analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, fingerprinting.
+
+All pure Catalyst (no Python in the hot path): tokenization via split,
+set ops via array_intersect/filter, hashing via md5/xxhash64. Each has an
+exact ANSI-SQL oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (heuristic n-gram/stopword language ID)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "los", "que", "y"],
+    "fr": ["le", "la", "les", "des", "et", "un"],
+    "de": ["der", "die", "das", "und", "ein", "ist"],
+}
+
+
+def tokens_of(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens_of(text))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count of word pieces + digits + punctuation runs.
+
+    regexp-based segmentation (letters runs, digit runs, single punct),
+    the standard cheap stand-in for a real tokenizer when budgeting
+    training tokens at corpus scale.
+    """
+    pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces)
+
+
+def stopword_score(text: Column, lang: str) -> Column:
+    """# tokens that are stopwords of `lang` (vectorized set intersect
+    against a literal array — no UDF, no join)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens_of(F.lower(text)), lambda t: F.array_contains(sw, t)))
+
+
+def language_id(text: Column) -> Column:
+    """Argmax of per-language stopword hit counts; 'und' when all zero.
+
+    Deterministic tiebreak: language order en > es > fr > de (first max
+    wins via strict greater-than chain).
+    """
+    scores = {lang: stopword_score(text, lang) for lang in STOPWORDS}
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in STOPWORDS:  # later entries must beat strictly
+        s = scores[lang]
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a single
+    [0,1] quality score (monotone, documented formula)."""
+    t = F.col(text_col)
+    toks = tokens_of(t)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_stop = stopword_score(t, "en")
+    mean_tok_len = F.when(n_tok > 0, (F.length(F.regexp_replace(t, r"\s+", ""))) / n_tok)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.4
+        + (1 - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (Rolling/winnowed variants live in dedup.minhash — this is the exact-
+    dup key, cheap enough to compute inline at ingest.)"""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
