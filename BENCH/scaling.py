@@ -27,7 +27,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from smh_to_jsonld_spark.session import get_spark
-from smh_to_jsonld_spark.operators import extract, link
+from smh_to_jsonld_spark.plans.pipeline import extract_and_link
 from smh_to_jsonld_spark.sources import synth
 
 cores = {cores}
@@ -43,15 +43,14 @@ n_turns = tr.count()  # materialize input outside the timed window
 best = None
 for trial in range({trials}):
     t0 = time.perf_counter()
-    mentions = extract.extract_mentions(tr)
-    conv_dim = extract.conversation_dim(mentions)
-    facts = link.link_locations(extract.facts_from_mentions(mentions, conv_dim), spark)
-    agg = facts.groupBy("round_id", "model_id").agg(
+    core = extract_and_link(spark, tr)
+    agg = core["facts"].groupBy("round_id", "model_id").agg(
         *[F.collect_set(c).alias(c) for c in ("location", "target", "output_type")],
         F.max("horizon").alias("max_horizon"),
     )
     agg.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
+    core["mentions"].unpersist()
     best = dt if best is None else min(best, dt)
 print(json.dumps({{"cores": cores, "sec": round(best, 3), "turns": n_turns,
                    "turns_per_sec": round(n_turns / best, 1)}}))

@@ -72,7 +72,7 @@ def main():
     # transcript KG throughput: synthesize -> extract -> link -> aggregate
     from pyspark.sql import functions as F
 
-    from smh_to_jsonld_spark.operators import extract, link
+    from smh_to_jsonld_spark.plans.pipeline import extract_and_link
     from smh_to_jsonld_spark.sources import synth
 
     n_turns = KG_CONVERSATIONS * KG_TURNS_PER_CONV
@@ -82,15 +82,14 @@ def main():
     tr.count()  # materialize input outside the timed section
 
     t0 = time.perf_counter()
-    mentions = extract.extract_mentions(tr)
-    conv_dim = extract.conversation_dim(mentions)
-    facts = link.link_locations(extract.facts_from_mentions(mentions, conv_dim), spark)
-    agg = facts.groupBy("round_id", "model_id").agg(
+    core = extract_and_link(spark, tr)
+    agg = core["facts"].groupBy("round_id", "model_id").agg(
         *[F.collect_set(c).alias(c) for c in ("location", "target", "output_type")],
         F.max("horizon").alias("max_horizon"),
     )
     _materialize(agg)
     kg_dt = time.perf_counter() - t0
+    core["mentions"].unpersist()
     tr.unpersist()
     timings["kg_extract_link_agg"] = round(kg_dt, 3)
     total += kg_dt

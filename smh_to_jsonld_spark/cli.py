@@ -1,0 +1,71 @@
+"""spark-submit entry point.
+
+Cluster usage:
+    spark-submit --py-files smh_to_jsonld_spark.zip \
+        -m smh_to_jsonld_spark.cli --transcripts <path-or-synth:N,T> \
+        --output /warehouse/kg [--resume]
+
+Local sandbox usage:
+    python -m smh_to_jsonld_spark.cli --transcripts synth:1000,24 \
+        --output /tmp/kg_out
+
+The job is resumable by construction: re-running with the same --output
+skips rounds whose partitions are already committed in the snapshot log
+(plans.job.run_resumable_kg_job).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="PySpark KG construction pipeline")
+    p.add_argument(
+        "--transcripts",
+        required=True,
+        help="parquet path of the transcripts table, or 'synth:<n_conv>,<turns>'"
+        " for the deterministic generator, or 'spec' for the fixture corpus",
+    )
+    p.add_argument("--output", required=True, help="warehouse root for TableIO")
+    p.add_argument("--master", default=None, help="override master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from smh_to_jsonld_spark.plans.job import run_resumable_kg_job
+    from smh_to_jsonld_spark.session import get_spark
+    from smh_to_jsonld_spark.sources import synth
+    from smh_to_jsonld_spark.sources.tables import TableIO
+
+    spark = get_spark(
+        app_name="smhkg-cli", master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+    spec = synth.corpus_spec()
+    if args.transcripts == "spec":
+        transcripts = synth.transcripts_df(spark, spec)
+        lineage = "synth:spec"
+    elif args.transcripts.startswith("synth:"):
+        n_conv, turns = (int(x) for x in args.transcripts[6:].split(","))
+        transcripts = synth.transcripts_at_scale(spark, n_conv, turns)
+        lineage = args.transcripts
+    else:
+        transcripts = spark.read.parquet(args.transcripts)
+        lineage = args.transcripts
+
+    io = TableIO(args.output)
+    manifest = run_resumable_kg_job(
+        spark,
+        transcripts,
+        synth.target_metadata_df(spark, spec),
+        synth.diseases_df(spark, spec),
+        io,
+        lineage_note=lineage,
+    )
+    print(json.dumps(manifest, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

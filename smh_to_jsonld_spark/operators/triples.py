@@ -88,22 +88,34 @@ def _flatten_list(items: list, subj: str, key: str, out: list) -> None:
             out.append((subj, key, _scalar(item)))
 
 
-def triples_from_docs(docs: DataFrame, id_col: str = "doc_id", json_col: str = "doc_json") -> DataFrame:
+def triples_from_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    json_col: str = "doc_json",
+    passthrough: list | None = None,
+) -> DataFrame:
     """Distributed flattening: (doc_id, doc_json) -> (subj, pred, obj).
 
     mapInPandas keeps parsing Arrow-batched; one doc can emit many triples
-    so this is a flatMap shape, not a scalar UDF.
+    so this is a flatMap shape, not a scalar UDF. ``passthrough`` columns
+    (e.g. the partition key round_id) are copied onto every triple of
+    their document — lineage at triple granularity for free.
     """
+    extra = list(passthrough or [])
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
-            for doc_id, doc_json in zip(pdf[id_col], pdf[json_col]):
+            for tup in zip(pdf[id_col], pdf[json_col], *[pdf[c] for c in extra]):
+                doc_id, doc_json, extras = tup[0], tup[1], tup[2:]
                 if doc_json is None:
                     continue
-                rows.extend(flatten_doc(json.loads(doc_json), str(doc_id)))
-            yield pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+                for t in flatten_doc(json.loads(doc_json), str(doc_id)):
+                    rows.append(t + extras)
+            yield pd.DataFrame(rows, columns=["subj", "pred", "obj"] + extra)
 
-    return docs.select(id_col, json_col).mapInPandas(gen, schema=TRIPLE_SCHEMA)
+    schema = TRIPLE_SCHEMA + "".join(f", {c} string" for c in extra)
+    return docs.select(id_col, json_col, *extra).mapInPandas(gen, schema=schema)
 
 
 def precision_recall(mine: set, golden: set) -> tuple[float, float]:

@@ -37,16 +37,37 @@ def hub_pipeline_from_frames(
     consolidated = emit.consolidated_round_docs(
         docs.select("round_id", "model_name", "doc_json"), diseases
     )
-    all_docs = docs.select("doc_id", "doc_json").union(
-        consolidated.select("doc_id", "doc_json")
+    all_docs = docs.select("doc_id", "doc_json", "round_id").union(
+        consolidated.select("doc_id", "doc_json", "round_id")
     )
-    triples = triples_from_docs(all_docs)
+    triples = triples_from_docs(all_docs, passthrough=["round_id"])
     return {
         "field_values": field_values,
         "model_docs": docs,
         "consolidated": consolidated,
         "triples": triples,
     }
+
+
+def extract_and_link(spark: SparkSession, transcripts: DataFrame) -> dict:
+    """Extraction + linking core, shared by the full pipeline and the
+    benchmarks.
+
+    `mentions` is persisted (MEMORY_AND_DISK): it feeds four consumers
+    (conv_dim, metadata, files, facts) — without the persist the Arrow
+    extraction pass would re-run per consumer branch. At cluster scale the
+    same applies; for 10^12 turns persist to a staging table instead
+    (TableIO.write) and read back.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    mentions = extract.extract_mentions(transcripts).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    conv_dim = extract.conversation_dim(mentions)
+    raw_facts = extract.facts_from_mentions(mentions, conv_dim)
+    facts = link.link_locations(raw_facts, spark).drop("location_surface")
+    return {"mentions": mentions, "conv_dim": conv_dim, "facts": facts}
 
 
 def kg_pipeline_from_transcripts(
@@ -68,14 +89,11 @@ def kg_pipeline_from_transcripts(
     target_meta / diseases are config dims (the reference's tasks.json),
     broadcast-sized by construction.
     """
-    mentions = extract.extract_mentions(transcripts)
-    conv_dim = extract.conversation_dim(mentions)
+    core = extract_and_link(spark, transcripts)
+    mentions, conv_dim, facts = core["mentions"], core["conv_dim"], core["facts"]
 
     metadata = extract.metadata_from_mentions(mentions, conv_dim)
     files = extract.files_from_mentions(mentions, conv_dim)
-
-    raw_facts = extract.facts_from_mentions(mentions, conv_dim)
-    facts = link.link_locations(raw_facts, spark).drop("location_surface")
 
     result = hub_pipeline_from_frames(spark, metadata, facts, files, target_meta, diseases)
     result["mentions"] = mentions

@@ -1,0 +1,98 @@
+"""TableIO — storage layer with snapshot manifests.
+
+Production target is Iceberg (`spark-submit --packages
+org.apache.iceberg:iceberg-spark-runtime-*`, hadoop catalog, tables
+partitioned by days(ts) + bucket(conv_id)); the Iceberg runtime jar cannot
+be fetched in this sandbox (no network), so the `parquet` backend provides
+the same API over a directory layout and emulates snapshot metadata with a
+`_snapshots/` JSON manifest per commit carrying per-partition lineage +
+row/triple counts (the north_rule's "lineage + metrics per snapshot").
+
+Everything above this layer is backend-agnostic: swap `format='iceberg'`
+(and a catalog) and the engine code is unchanged. The reference's analog
+is its per-round output-dir lifecycle (rmtree+mkdir,
+/root/reference/pipeline/create_jsonld_v6_0_0.py:76-82) — here idempotent
+partition overwrite + append-only snapshot history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    def __init__(self, root: str, fmt: str = "parquet"):
+        self.root = Path(root)
+        self.fmt = fmt
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported format: {fmt}")
+
+    # -- paths ------------------------------------------------------------
+    def table_path(self, table: str) -> str:
+        return str(self.root / table)
+
+    def _snap_dir(self, table: str) -> Path:
+        return self.root / table / "_snapshots"
+
+    # -- io ---------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list | None = None,
+        mode: str = "append",
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Write a table (append or overwrite) and commit a snapshot
+        manifest with lineage + metrics. Returns the manifest."""
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.table_path(table))
+
+        snap_dir = self._snap_dir(table)
+        snap_dir.mkdir(parents=True, exist_ok=True)
+        existing = sorted(snap_dir.glob("snap-*.json"))
+        snap_id = len(existing)
+        manifest = {
+            "snapshot_id": snap_id,
+            "table": table,
+            "mode": mode,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "partition_by": partition_by or [],
+            "lineage": lineage or {},
+            "metrics": metrics or {},
+        }
+        tmp = snap_dir / f".snap-{snap_id:06d}.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, snap_dir / f"snap-{snap_id:06d}.json")
+        return manifest
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(table))
+
+    # -- snapshot history ---------------------------------------------------
+    def snapshots(self, table: str) -> list:
+        snap_dir = self._snap_dir(table)
+        if not snap_dir.exists():
+            return []
+        out = []
+        for p in sorted(snap_dir.glob("snap-*.json")):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
+
+    def completed_partitions(self, table: str, key: str = "partitions") -> set:
+        """Union of partition values recorded as committed across all
+        snapshots — the resume set."""
+        done: set = set()
+        for snap in self.snapshots(table):
+            done.update(snap.get("metrics", {}).get(key, {}).keys())
+        return done

@@ -1,0 +1,80 @@
+"""Resumable job + TableIO snapshot/lineage/metrics + streaming ingestion."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from smh_to_jsonld_spark.plans.job import discover_round_of_conv, run_resumable_kg_job
+from smh_to_jsonld_spark.sources import synth
+from smh_to_jsonld_spark.sources.tables import TableIO
+
+
+def test_discover_round_of_conv(spark, spec):
+    tr = synth.transcripts_df(spark, spec)
+    got = {(r.conv_id, r.round_id) for r in discover_round_of_conv(tr).collect()}
+    assert ("conv-2031-01-05-team0-modelA", "2031-01-05") in got
+    assert len(got) == 10  # 2 rounds x 5 models
+
+
+def test_resumable_job_and_snapshots(spark, spec, tmp_path):
+    io = TableIO(str(tmp_path / "warehouse"))
+    tr = synth.transcripts_df(spark, spec)
+    tm = synth.target_metadata_df(spark, spec)
+    dz = synth.diseases_df(spark, spec)
+
+    m1 = run_resumable_kg_job(spark, tr, tm, dz, io, lineage_note="test")
+    assert m1["metrics"]["partitions"].keys() == {"2031-01-05", "2031-02-02"}
+    assert sum(m1["metrics"]["partitions"].values()) > 1000
+    assert m1["metrics"]["triples_by_pred"]["@type"] > 0
+    assert m1["lineage"]["rounds"] == ["2031-01-05", "2031-02-02"]
+
+    # second run: everything committed => skipped, no new snapshot
+    m2 = run_resumable_kg_job(spark, tr, tm, dz, io)
+    assert m2.get("skipped") is True
+    assert len(io.snapshots("triples")) == 1
+
+    # partial resume: wipe one round from the manifest view by faking a
+    # fresh warehouse containing only round 1's commit
+    io2 = TableIO(str(tmp_path / "warehouse2"))
+    r1_convs = [f"conv-2031-01-05-{m['model_name']}" for m in spec["rounds"][0]["models"]]
+    tr_r1 = tr.filter(F.col("conv_id").isin(r1_convs))
+    run_resumable_kg_job(spark, tr_r1, tm, dz, io2)
+    assert io2.completed_partitions("triples") == {"2031-01-05"}
+    m3 = run_resumable_kg_job(spark, tr, tm, dz, io2)
+    assert list(m3["metrics"]["partitions"].keys()) == ["2031-02-02"]
+
+    # committed data matches the one-shot run
+    total_triples = io2.read(spark, "triples").count()
+    assert total_triples == sum(m1["metrics"]["partitions"].values())
+
+
+def test_tableio_snapshot_log(spark, tmp_path):
+    io = TableIO(str(tmp_path / "wh"))
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p"))
+    io.write(df, "t", partition_by=["p"], metrics={"partitions": {"0": 5, "1": 5}})
+    io.write(df, "t", partition_by=["p"], metrics={"partitions": {"2": 10}})
+    snaps = io.snapshots("t")
+    assert [s["snapshot_id"] for s in snaps] == [0, 1]
+    assert io.completed_partitions("t") == {"0", "1", "2"}
+    assert json.dumps(snaps[0])  # manifests are valid json
+
+
+def test_streaming_ingestion_available_now(spark, spec, tmp_path):
+    from smh_to_jsonld_spark.streaming import ingest
+
+    src = str(tmp_path / "incoming")
+    synth.transcripts_df(spark, spec).write.parquet(src)
+
+    stream = ingest.read_transcript_stream(spark, src)
+    deduped = ingest.dedup_stream(stream)
+    out = str(tmp_path / "bronze")
+    ingest.run_available_now(deduped, out, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(out)
+    assert got.count() == len(synth.transcripts_rows(spec))
+
+    counts = ingest.mention_counts_stream(ingest.read_transcript_stream(spark, src))
+    out2 = str(tmp_path / "mention_counts")
+    ingest.run_available_now(counts, out2, str(tmp_path / "ckpt2"))
+    rows = spark.read.parquet(out2).collect()
+    assert sum(r.n_mentions for r in rows) > 0
