@@ -47,21 +47,37 @@ def _sorted_values(kv_list_col):
     return F.transform(ordered, lambda x: x["v"])
 
 
-def _variable_measured(field_values: DataFrame, target_meta: DataFrame) -> DataFrame:
-    """J4+F8: per-model variableMeasured array (empty-observed bypass)."""
-    pairs = (
-        field_values.select("round_id", "model_id", F.col("target").alias("__observed"))
-        .join(F.broadcast(target_meta), "round_id")
-        .filter(
+def _variable_measured(
+    field_values: DataFrame, target_meta: DataFrame, dialect: str = "v6"
+) -> DataFrame:
+    """J4+F8: per-model variableMeasured array.
+
+    Dialect split (SURVEY.md §7.4-2/4):
+    - v6: EMPTY observed set keeps ALL targets (the bypass branch,
+      create_jsonld_v6_0_0.py:237-241);
+    - v5: plain semi-join, empty observed set keeps none
+      (utils/tasks_smh.py:96), and v5's dataclass has no alternative_name
+      field so alternateName is never emitted (utils/tasks_json_parser.py:
+      24-34).
+    """
+    pairs = field_values.select(
+        "round_id", "model_id", F.col("target").alias("__observed")
+    ).join(F.broadcast(target_meta), "round_id")
+    if dialect == "v6":
+        pairs = pairs.filter(
             (F.size("__observed") == 0)
             | F.array_contains(F.col("__observed"), F.col("target_id"))
         )
+    else:
+        pairs = pairs.filter(F.array_contains(F.col("__observed"), F.col("target_id")))
+    alt_name = (
+        F.col("alternative_name") if dialect == "v6" else F.lit(None).cast("string")
     )
     target_obj = F.struct(
         F.lit("PropertyValue").alias("@type"),
         F.coalesce(_NONEMPTY(F.col("target_name")), F.col("target_id")).alias("name"),
         F.col("uri").alias("identifier"),
-        F.col("alternative_name").alias("alternateName"),
+        alt_name.alias("alternateName"),
         F.col("description").alias("description"),
         F.col("target_units").alias("unitText"),
         F.col("target_id").alias("target_id"),
@@ -130,6 +146,7 @@ def model_docs(
     field_values: DataFrame,
     target_meta: DataFrame,
     file_hist: DataFrame,
+    dialect: str = "v6",
 ) -> DataFrame:
     """Assemble one JSON-LD doc per (round_id, model_name).
 
@@ -141,7 +158,7 @@ def model_docs(
 
     Returns (round_id, model_name, doc_id, doc_json, enriched).
     """
-    vm = _variable_measured(field_values, target_meta)
+    vm = _variable_measured(field_values, target_meta, dialect)
     sc = _spatial_coverage(field_values, spark)
 
     fv = (
@@ -267,13 +284,17 @@ def model_docs(
 CONSOLIDATED_SCHEMA = "round_id string, doc_id string, doc_json string"
 
 
-def consolidated_round_docs(docs: DataFrame, diseases: DataFrame) -> DataFrame:
+def consolidated_round_docs(
+    docs: DataFrame, diseases: DataFrame, dialect: str = "v6"
+) -> DataFrame:
     """S8/J6/A5/C16: one consolidated JSON-LD per round.
 
     Grouped applyInPandas over round_id — bounded group (models per round),
     matching /root/reference/pipeline/create_jsonld_v6_0_0.py:386-450:
-    hasPart in model-name order, healthCondition singleton-vs-list,
-    numberOfItems = len(hasPart).
+    hasPart in model-name order, numberOfItems = len(hasPart).
+    Disease shape rule by dialect (SURVEY.md §7.4-2):
+    - v6: 1 disease => object, >1 => array (create_jsonld_v6_0_0.py:425-428)
+    - v5: LAST disease wins, always an object (utils/jsonld.py:223-231)
     """
     disease_arrays = diseases.groupBy("round_id").agg(
         F.to_json(
@@ -308,15 +329,23 @@ def consolidated_round_docs(docs: DataFrame, diseases: DataFrame) -> DataFrame:
                 "description": "RSV disease projection outputs",
             },
         }
-        entries = [
-            {"@type": "MedicalCondition", "name": d.get("name"), "uri": d.get("uri")}
-            for d in diseases_list
-            if d.get("name") or d.get("uri")
-        ]
-        if len(entries) == 1:
-            consolidated["healthCondition"] = entries[0]
-        elif entries:
-            consolidated["healthCondition"] = entries
+        if dialect == "v6":
+            entries = [
+                {"@type": "MedicalCondition", "name": d.get("name"), "uri": d.get("uri")}
+                for d in diseases_list
+                if d.get("name") or d.get("uri")
+            ]
+            if len(entries) == 1:
+                consolidated["healthCondition"] = entries[0]
+            elif entries:
+                consolidated["healthCondition"] = entries
+        else:  # v5: loop overwrites => last disease wins
+            for d in diseases_list:
+                consolidated["healthCondition"] = {
+                    "@type": "MedicalCondition",
+                    "name": d.get("name"),
+                    "uri": d.get("uri"),
+                }
         for doc_json in pdf.sort_values("model_name")["doc_json"]:
             consolidated["hasPart"].append(json.loads(doc_json))
         consolidated["numberOfItems"] = len(consolidated["hasPart"])

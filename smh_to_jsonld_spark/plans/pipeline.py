@@ -29,13 +29,21 @@ def hub_pipeline_from_frames(
     files: DataFrame,
     target_meta: DataFrame,
     diseases: DataFrame,
+    dialect: str = "v6",
 ) -> dict:
-    """Run the full JSON-LD construction over already-structured frames."""
+    """Run the full JSON-LD construction over already-structured frames.
+
+    ``dialect`` selects the hubverse schema emission rules: "v6" (6.0.0)
+    or "v5" (5.1.0) — the reference's two script variants, dispatched by
+    version sniffing (run_pipeline.py:256-271; sources.config.dialect_of).
+    """
     field_values = aggregates.distinct_field_values(facts)
     file_hist = aggregates.file_type_histogram(files)
-    docs = emit.model_docs(spark, metadata, field_values, target_meta, file_hist)
+    docs = emit.model_docs(
+        spark, metadata, field_values, target_meta, file_hist, dialect=dialect
+    )
     consolidated = emit.consolidated_round_docs(
-        docs.select("round_id", "model_name", "doc_json"), diseases
+        docs.select("round_id", "model_name", "doc_json"), diseases, dialect=dialect
     )
     all_docs = docs.select("doc_id", "doc_json", "round_id").union(
         consolidated.select("doc_id", "doc_json", "round_id")
@@ -75,6 +83,7 @@ def kg_pipeline_from_transcripts(
     transcripts: DataFrame,
     target_meta: DataFrame,
     diseases: DataFrame,
+    dialect: str = "v6",
 ) -> dict:
     """The full triple factory over the authoritative input table
     (conv_id, turn_idx, role, text, tool, ts):
@@ -95,7 +104,9 @@ def kg_pipeline_from_transcripts(
     metadata = extract.metadata_from_mentions(mentions, conv_dim)
     files = extract.files_from_mentions(mentions, conv_dim)
 
-    result = hub_pipeline_from_frames(spark, metadata, facts, files, target_meta, diseases)
+    result = hub_pipeline_from_frames(
+        spark, metadata, facts, files, target_meta, diseases, dialect=dialect
+    )
     result["mentions"] = mentions
     result["facts"] = facts
     return result
