@@ -188,8 +188,7 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-@pandas_udf("long")
-def simhash64(texts: pd.Series) -> pd.Series:
+def _simhash_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (vectorized numpy bit ops).
 
     Deterministic: token hash = md5-derived 64 bits. Arrow-batched —
@@ -211,6 +210,12 @@ def simhash64(texts: pd.Series) -> pd.Series:
         v = np.sum(weights[acc > 0], dtype=np.uint64)
         out[i] = v.astype(np.int64)
     return pd.Series(out)
+
+
+def simhash64(col):
+    """Column wrapper; the pandas UDF is built lazily because type parsing
+    needs an active SparkSession (safe to import without one)."""
+    return pandas_udf(_simhash_batch, "long")(col)
 
 
 def simhash_neardup_pairs(

@@ -137,14 +137,18 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
     cents = rng.randn(n_centroids, dim)
     cents = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).tolist()
     v = _as_double(F.col(vec_col))
-    best_i, best_s = F.lit(-1), F.lit(-1e18)
-    for i, cvec in enumerate(cents):
-        s = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(float(x)) for x in cvec]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        cond = s > best_s
-        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-        best_s = F.when(cond, s).otherwise(best_s)
-    return corpus.select(F.col(id_col), F.col(vec_col), best_i.alias("centroid"))
+    # one score expression per centroid in a single array, argmax via
+    # array_position — a when-chain would EMBED each prior score twice per
+    # step (2^n expression blowup that stalls analysis/codegen)
+    scores = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for c in cents
+        ]
+    )
+    centroid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return corpus.select(F.col(id_col), F.col(vec_col), centroid.alias("centroid"))

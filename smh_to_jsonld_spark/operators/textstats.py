@@ -55,15 +55,15 @@ def language_id(text: Column) -> Column:
     Deterministic tiebreak: language order en > es > fr > de (first max
     wins via strict greater-than chain).
     """
-    scores = {lang: stopword_score(text, lang) for lang in STOPWORDS}
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in STOPWORDS:  # later entries must beat strictly
-        s = scores[lang]
-        cond = s > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best_lang
+    langs = list(STOPWORDS)
+    scores = F.array(*[stopword_score(text, lang) for lang in langs])
+    # argmax via array_position (first max wins ties = first language in
+    # declaration order) — avoids a when-chain that embeds every prior
+    # score twice per step
+    idx = F.array_position(scores, F.array_max(scores))
+    return F.when(F.array_max(scores) > 0,
+                  F.element_at(F.array(*[F.lit(l) for l in langs]), idx.cast("int"))
+                  ).otherwise(F.lit("und"))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,87 @@
+"""Sources (YAML/CSV) and sinks (JSON-LD files, HTML, roster validation)."""
+
+import json
+from pathlib import Path
+
+import yaml
+
+from smh_to_jsonld_spark.operators import sinks
+from smh_to_jsonld_spark.plans.pipeline import kg_pipeline_from_transcripts
+from smh_to_jsonld_spark.sources import readers, synth
+
+
+def _write_yaml_dir(spec, tmp_path):
+    rnd = spec["rounds"][0]
+    mdir = tmp_path / "model-metadata"
+    mdir.mkdir()
+    for mdl in rnd["models"]:
+        with open(mdir / f"{mdl['model_name']}.yaml", "w") as f:
+            yaml.safe_dump(mdl["metadata"], f, sort_keys=False)
+    return rnd["round_id"], str(mdir)
+
+
+def test_read_model_metadata_yaml_matches_direct(spark, spec, tmp_path):
+    round_id, mdir = _write_yaml_dir(spec, tmp_path)
+    got = readers.read_model_metadata_yaml(spark, mdir, round_id)
+    direct = synth.metadata_df(spark, spec).filter(f"round_id = '{round_id}'")
+    cols = sorted(direct.columns)
+    a = {tuple(str(x) for x in r) for r in got.select(*cols).collect()}
+    b = {tuple(str(x) for x in r) for r in direct.select(*cols).collect()}
+    assert a == b
+
+
+def test_read_model_metadata_yaml_distributed(spark, spec, tmp_path):
+    round_id, mdir = _write_yaml_dir(spec, tmp_path)
+    got = readers.read_model_metadata_yaml(spark, mdir, round_id, distributed=True)
+    assert got.count() == len(spec["rounds"][0]["models"])
+
+
+def test_read_alias_csv(spark, tmp_path):
+    p = tmp_path / "aliases.csv"
+    p.write_text("alias,canonical,entity_type\ncalifornia,06,location\n")
+    got = readers.read_alias_csv(spark, str(p)).collect()
+    assert got[0].alias == "california" and got[0].canonical == "06"
+
+
+def _run(spark, spec):
+    return kg_pipeline_from_transcripts(
+        spark,
+        synth.transcripts_df(spark, spec),
+        synth.target_metadata_df(spark, spec),
+        synth.diseases_df(spark, spec),
+    )
+
+
+def test_jsonld_sinks_and_html(spark, spec, tmp_path):
+    res = _run(spark, spec)
+    docs = res["model_docs"].select("round_id", "doc_id", "doc_json")
+
+    out1 = tmp_path / "ndjson"
+    sinks.write_jsonld_files(docs, str(out1))
+    back = spark.read.text(str(out1))
+    assert back.count() == docs.count()
+    assert json.loads(back.first().value)["@context"] == "https://schema.org/"
+
+    out2 = tmp_path / "files"
+    sinks.write_jsonld_files(docs, str(out2), one_file_per_doc=True)
+    files = list(Path(out2).rglob("*.jsonld"))
+    assert len(files) == 10
+
+    html_dir = tmp_path / "html"
+    sinks.write_round_html(res["consolidated"], str(html_dir))
+    html_files = sorted(Path(html_dir).glob("*.html"))
+    assert len(html_files) == 2
+    content = html_files[0].read_text()
+    assert "team0-modelA" in content and "RSV" in content
+
+
+def test_roster_validation(spark, spec):
+    res = _run(spark, spec)
+    ok = sinks.roster_validation(res["model_docs"], res["consolidated"])
+    assert ok == {}
+
+    # drop one model doc from the expected side => flagged as extra
+    broken = res["model_docs"].filter("model_name <> 'team0-modelA'")
+    bad = sinks.roster_validation(broken, res["consolidated"])
+    assert bad["2031-01-05"]["extra"] == ["team0-modelA"]
+    assert bad["2031-01-05"]["missing"] == []

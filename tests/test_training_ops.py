@@ -1,0 +1,158 @@
+"""Training-data pipeline operators: dedup, similarity, textstats,
+multimodal — hand-built micro-corpora with known answers."""
+
+from pyspark.sql import functions as F
+
+from smh_to_jsonld_spark.operators import dedup, multimodal, similarity, textstats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    df = _docs(spark, ["a b c", "a  B c", "x y z", "a b c"])  # 0,1,3 identical after norm
+    kept = dedup.exact_dedup(df)
+    rows = {r.doc_id: r.dup_count for r in kept.collect()}
+    assert rows == {0: 3, 2: 1}
+
+
+def test_shingles_and_jaccard(spark):
+    df = _docs(spark, ["the quick brown fox", "the quick brown cat", "zz yy xx ww"])
+    pairs = dedup.jaccard_pairs(df, n=1, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (0, 1)
+    assert abs(p.jaccard - 3 / 5) < 1e-9
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    far = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [base, near, far])
+    pairs = dedup.minhash_lsh_pairs(df, num_hashes=32, bands=16, shingle_n=1, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(spark, ["a b c d e f g h", "a b c d e f g h", "q r s t u v w x"])
+    sigs = {r.doc_id: r.sig for r in df.select("doc_id", dedup.simhash64("text").alias("sig")).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+    pairs = dedup.simhash_neardup_pairs(df, max_hamming=3).collect()
+    assert {(p.id_a, p.id_b, p.hamming) for p in pairs} == {(0, 1, 0)}
+
+
+def test_embedding_neardup_and_lsh(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = dedup.embedding_neardup_pairs(df, threshold=0.95, n_planes=4, dim=4)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((10, [0.9, 0.1, 0.0, 0.0]))  # closest to vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == 0)
+    corpus = df.filter(F.col("vec_id") != 0)
+    got = similarity.brute_force_topk(corpus, queries, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in got] == [(10, 1), (1, 2)]
+
+
+def test_lsh_topk_recall_on_testdata(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 5)
+    corpus = e.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(corpus, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(corpus, queries, k=3, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5  # ANN: buckets trim the candidate set
+
+
+def test_ivf_assign_deterministic(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    a1 = {r.vec_id: r.centroid for r in similarity.ivf_assign(e).collect()}
+    a2 = {r.vec_id: r.centroid for r in similarity.ivf_assign(e).collect()}
+    assert a1 == a2
+    assert set(a1.values()) <= set(range(16))
+
+
+def test_token_counts(spark):
+    df = _docs(spark, ["one two  three", "", "  ", "don't stop-me now!"])
+    got = {
+        r.doc_id: (r.n, r.p)
+        for r in df.select(
+            "doc_id",
+            textstats.token_count(F.col("text")).alias("n"),
+            textstats.bpe_ish_token_count(F.col("text")).alias("p"),
+        ).collect()
+    }
+    assert got[0] == (3, 3)
+    assert got[1][0] == 0 and got[2][0] == 0
+    # don ' t stop - me now !  => 8 pieces
+    assert got[3] == (3, 8)
+
+
+def test_language_id_heuristic(spark):
+    df = _docs(
+        spark,
+        [
+            "the cat sat on the mat and looked a bit bored",
+            "el gato y la casa de los amigos",
+            "le chat et les amis des villes",
+            "der hund und die katze ist ein tier",
+            "zzz qqq www",
+        ],
+    )
+    got = [r.l for r in df.select(textstats.language_id(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "es", "fr", "de", "und"]
+
+
+def test_quality_features_monotone(spark):
+    good = "the quick brown fox jumps over the lazy dog and then the end of a story"
+    bad = "!!! ??? ### $$$"
+    df = _docs(spark, [good, bad])
+    got = {r.doc_id: r.quality for r in textstats.quality_features(df).collect()}
+    assert got[0] > got[1]
+
+
+def test_fingerprint_normalizes_whitespace_case(spark):
+    df = _docs(spark, ["Hello  World", "hello world", "hello worlds"])
+    fps = [r.f for r in df.select(textstats.fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_plumbing(spark):
+    df = _docs(spark, ["some payload text", "other bytes here"])
+    media = multimodal.attach_media(df, "doc_id", "text")
+    feats = multimodal.extract_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert rows[0].byte_len == len("some payload text")
+    assert len(rows[0].digest) == 16
+    assert len(rows[0].feature) == 8
+    assert abs(sum(rows[0].feature) - 1.0) < 1e-5
+
+    frames = multimodal.frame_sample_plan(media, every_n=5)
+    assert frames.count() > 0
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"x", "image/png")
