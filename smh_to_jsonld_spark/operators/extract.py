@@ -49,6 +49,28 @@ _PAT_FACT = (
 _COLS = ["conv_id", "turn_idx", "kind", "f1", "f2", "f3", "f4", "f5", "f6", "f7"]
 
 
+def _entity_pattern() -> str:
+    """Alternation of location entity names for free-text mention spotting
+    (the unanchored scan every turn gets — the north-star 'batched mention
+    detection' over chatter, not just structured lines). Longest-first so
+    'New Hampshire' beats 'New'."""
+    from smh_to_jsonld_spark.functions.dims import fips_rows
+
+    names = sorted({n for _, _, n in fips_rows()}, key=len, reverse=True)
+    import re as _re
+
+    return r"\b(" + "|".join(_re.escape(n) for n in names) + r")\b"
+
+
+# concept vocabulary (targets, diseases) + ISO dates — the other mention
+# classes a KG pipeline spots in free text
+_PAT_CONCEPT = (
+    r"\b(peak inc hosp|inc hosp|cum hosp|RSV|Influenza|hospitalizations?"
+    r"|surveillance|calibration|scenario)\b"
+)
+_PAT_DATE = r"\b(\d{4}-\d{2}-\d{2})\b"
+
+
 def _emit(pdf: pd.DataFrame, mask: pd.Series, groups: pd.DataFrame, kind: str) -> pd.DataFrame:
     """Assemble mention rows for one pattern's matches (whole-batch ops)."""
     hit = groups[mask]
@@ -65,8 +87,17 @@ def _emit(pdf: pd.DataFrame, mask: pd.Series, groups: pd.DataFrame, kind: str) -
     return out
 
 
-def extract_mentions(transcripts: DataFrame) -> DataFrame:
-    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> mentions."""
+def extract_mentions(transcripts: DataFrame, spot_entities: bool = True) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> mentions.
+
+    Two extraction families per Arrow batch:
+    - anchored structured patterns (round/header/kv/contributor/file/fact)
+      via vectorized ``.str.extract``;
+    - unanchored entity-mention spotting over the FULL text of every turn
+      (``.str.findall`` of the location-name alternation) — emitted as
+      kind='entity' rows, one per occurrence. This is the hot loop at
+      transcript scale (every byte of every turn is scanned).
+    """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         patterns = [
@@ -77,6 +108,7 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
             ("file", _PAT_FILE),
             ("fact", _PAT_FACT),
         ]
+        ent_pat = _entity_pattern() if spot_entities else None
         for pdf in batches:
             text = pdf["text"].astype("string")
             frames = []
@@ -85,6 +117,27 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
                 mask = groups[0].notna()
                 if mask.any():
                     frames.append(_emit(pdf, mask, groups, kind))
+            if ent_pat is not None:
+                for kind, pat in (
+                    ("entity", ent_pat),
+                    ("concept", _PAT_CONCEPT),
+                    ("date", _PAT_DATE),
+                ):
+                    hits = text.str.findall(pat)
+                    n = hits.str.len().fillna(0).astype(int)
+                    mask = n > 0
+                    if mask.any():
+                        ent = pd.DataFrame(
+                            {
+                                "conv_id": pdf.loc[mask, "conv_id"].repeat(n[mask]).values,
+                                "turn_idx": pdf.loc[mask, "turn_idx"].repeat(n[mask]).values,
+                                "kind": kind,
+                                "f1": [m for row in hits[mask] for m in row],
+                            }
+                        )
+                        for i in range(2, 8):
+                            ent[f"f{i}"] = None
+                        frames.append(ent[_COLS])
             if frames:
                 yield pd.concat(frames, ignore_index=True)[_COLS]
             else:

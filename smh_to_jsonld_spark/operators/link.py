@@ -104,31 +104,36 @@ def fuzzy_candidates(
 def link_locations(
     facts: DataFrame, spark: SparkSession, surface_col: str = "location_surface"
 ) -> DataFrame:
-    """Full linking pass: exact broadcast join, fuzzy for residuals,
-    surface-form passthrough for true misses. Adds `location`.
+    """Full linking pass: exact broadcast dictionary + fuzzy for residual
+    surfaces, surface-form passthrough for true misses. Adds `location`.
 
-    The fuzzy join operates on DISTINCT unresolved surfaces (bounded by
-    vocabulary, not corpus size) and is broadcast back onto the fact table
-    — the big table is never shuffled by this stage.
+    Single-consumption design: the fact table is scanned once to collect
+    the DISTINCT surface vocabulary (partial-agg shuffle of a tiny set),
+    the fuzzy matcher runs only on vocabulary misses, and the union of
+    (alias dict + fuzzy matches) becomes ONE broadcast mapping joined back
+    in a single pass. The big table is never shuffled and never consumed
+    twice by the linking plan itself.
     """
     from smh_to_jsonld_spark.functions.dims import alias_dim
 
     dim = alias_dim(spark)
-    exact = link_exact(facts, dim, surface_col)
-    miss_surfaces = exact.filter(F.col("canonical").isNull()).select(
+    surfaces = facts.select(
         normalize_surface(F.col(surface_col)).alias("surface")
+    ).distinct()
+    misses = surfaces.join(
+        F.broadcast(dim.select(F.col("alias").alias("surface"))), "surface", "left_anti"
     )
-    fuzzy = fuzzy_candidates(miss_surfaces, dim).select(
-        F.col("surface").alias("__fsurf"), F.col("canonical").alias("__fcanon")
+    fuzzy = fuzzy_candidates(misses, dim).select(
+        F.col("surface").alias("__norm"), F.col("canonical")
+    )
+    mapping = dim.select(F.col("alias").alias("__norm"), F.col("canonical")).unionByName(
+        fuzzy
     )
     out = (
-        exact.withColumn("__norm2", normalize_surface(F.col(surface_col)))
-        .join(F.broadcast(fuzzy), F.col("__norm2") == F.col("__fsurf"), "left")
-        .withColumn(
-            "location",
-            F.coalesce(F.col("canonical"), F.col("__fcanon"), F.col(surface_col)),
-        )
-        .drop("__norm2", "__fsurf", "__fcanon", "canonical")
+        facts.withColumn("__norm", normalize_surface(F.col(surface_col)))
+        .join(F.broadcast(mapping), "__norm", "left")
+        .withColumn("location", F.coalesce(F.col("canonical"), F.col(surface_col)))
+        .drop("__norm", "canonical")
     )
     return out
 

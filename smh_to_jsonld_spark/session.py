@@ -55,6 +55,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SMHKG_DRIVER_MEM", "8g"))
+        .config("spark.local.dir", os.environ.get("SMHKG_LOCAL_DIR", "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.jsonGenerator.ignoreNullFields", "true")
     )

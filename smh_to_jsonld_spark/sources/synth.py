@@ -445,6 +445,29 @@ def transcripts_at_scale(
         F.lit("; output_type="), ot,
         F.lit("; scenario=A-2031-01-01; origin_date=2031-01-05; horizon="), h.cast("string"),
     )
+    # chatter turns: ~40 words of deterministic filler prose (realistic
+    # agent-transcript shape — most turns carry no extractable facts, but
+    # the extractor must still scan them)
+    vocab = F.array(
+        *[
+            F.lit(w)
+            for w in (
+                "the model projects a steady rise across regions while the team "
+                "reviews calibration notes and compares scenario inputs against "
+                "surveillance trends observed during recent weeks of reporting "
+                "data quality checks continue pending further updates"
+            ).split()
+        ]
+    )
+    filler = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(F.col("id"), i), F.size(vocab)) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
     text = (
         F.when(turn == 0, F.lit("Round 2031-01-05 submission session."))
         .when(
@@ -455,13 +478,17 @@ def transcripts_at_scale(
                 model_i.cast("string"), F.lit("] from team [Team X Lab]."),
             ),
         )
+        .when(F.pmod(turn, F.lit(2)) == 1, filler)
         .otherwise(fact_text)
     )
     return df.select(
         F.concat(F.lit("conv-"), conv.cast("string")).alias("conv_id"),
         turn.alias("turn_idx"),
-        F.when(turn < 2, F.lit("user")).otherwise(F.lit("tool")).alias("role"),
+        F.when(turn < 2, F.lit("user"))
+        .when(F.pmod(turn, F.lit(2)) == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+        .alias("role"),
         text.alias("text"),
-        F.when(turn >= 2, F.lit("validate")).alias("tool"),
+        F.when((turn >= 2) & (F.pmod(turn, F.lit(2)) == 0), F.lit("validate")).alias("tool"),
         (F.to_timestamp(F.lit("2031-01-05 00:00:00")) + (F.col("id") * F.expr("INTERVAL 1 SECOND"))).alias("ts"),
     )

@@ -14,7 +14,7 @@ def test_turn_order_invariant(spark, spec):
 def test_mention_kinds_present(spark, spec):
     m = extract.extract_mentions(synth.transcripts_df(spark, spec))
     kinds = {r.kind for r in m.select("kind").distinct().collect()}
-    assert kinds == {"round", "header", "kv", "contributor", "file", "fact"}
+    assert {"round", "header", "kv", "contributor", "file", "fact", "entity", "concept", "date"} <= kinds
 
 
 def test_conversation_dim(spark, spec):
