@@ -98,6 +98,14 @@ def run_resumable_kg_job(
         lineage={"input": lineage_note or "transcripts", "rounds": todo},
         metrics={"partitions": {r: 1 for r in todo}},
     )
+    entities = result["entities"]
+    io.write(
+        entities,
+        "entities",
+        mode="overwrite",  # global (cross-round) table, rebuilt per commit
+        lineage={"input": lineage_note or "transcripts", "rounds": todo},
+        metrics={"n_entities": entities.count()},
+    )
     manifest = io.write(
         triples,
         "triples",

@@ -109,7 +109,52 @@ def kg_pipeline_from_transcripts(
     )
     result["mentions"] = mentions
     result["facts"] = facts
+    result["entities"] = entity_graph(spark, mentions)
     return result
+
+
+def entity_graph(spark: SparkSession, mentions: DataFrame) -> DataFrame:
+    """Free-text entity mentions -> canonical entity table.
+
+    1. salted mention counts per surface form (head entities like 'US'
+       dominate — the skew path, link.salted_count);
+    2. exact + fuzzy alias resolution over the DISTINCT surface vocabulary;
+    3. same-as edges (surface <-> canonical) -> connected components
+       (checkpointed fixpoint) -> member-set-hash IRIs (canon module).
+
+    Returns (iri, canonical, surfaces array, n_mentions).
+    """
+    from smh_to_jsonld_spark.operators import canon, link
+
+    ents = mentions.filter(F.col("kind") == "entity").select(
+        link.normalize_surface(F.col("f1")).alias("surface")
+    )
+    counts = link.salted_count(ents, ["surface"], salt_buckets=16)
+
+    linked = link.link_locations(
+        counts.withColumnRenamed("surface", "location_surface"), spark
+    ).select(
+        F.col("location_surface").alias("surface"),
+        F.col("location").alias("canonical"),
+        "count",
+    )
+    edges = canon.sameas_edges_from_linking(linked, "surface", "canonical")
+    cc = canon.connected_components(edges)
+    iris = canon.mint_component_iris(cc)
+
+    with_iri = linked.join(
+        iris.select(F.col("vertex").alias("canonical"), "iri", "component"),
+        "canonical",
+        "left",
+    ).withColumn(
+        "iri",
+        F.coalesce(F.col("iri"), F.concat(F.lit("kg:entity/"), F.sha1(F.to_binary(F.col("canonical"), F.lit("utf-8"))))),
+    )
+    return with_iri.groupBy("iri").agg(
+        F.first("canonical").alias("canonical"),
+        F.sort_array(F.collect_set("surface")).alias("surfaces"),
+        F.sum("count").alias("n_mentions"),
+    )
 
 
 def turn_order_check(transcripts: DataFrame) -> int:
