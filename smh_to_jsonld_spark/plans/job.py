@@ -69,7 +69,9 @@ def run_resumable_kg_job(
     # keeps the big transcript scan shuffle-free
     subset = transcripts.join(F.broadcast(todo_convs), "conv_id", "left_semi")
 
-    result = kg_pipeline_from_transcripts(spark, subset, target_meta, diseases)
+    result = kg_pipeline_from_transcripts(
+        spark, subset, target_meta, diseases, include_entities=True
+    )
 
     triples = result["triples"]  # carries round_id via flattener passthrough
     # one pass for all metrics: per-round and per-predicate counts

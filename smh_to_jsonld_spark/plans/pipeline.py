@@ -75,7 +75,9 @@ def extract_and_link(spark: SparkSession, transcripts: DataFrame) -> dict:
     conv_dim = extract.conversation_dim(mentions)
     raw_facts = extract.facts_from_mentions(mentions, conv_dim)
     facts = link.link_locations(raw_facts, spark).drop("location_surface")
-    return {"mentions": mentions, "conv_dim": conv_dim, "facts": facts}
+    spotted = extract.spot_mentions(transcripts)  # single consumer, unpersisted
+    return {"mentions": mentions, "conv_dim": conv_dim, "facts": facts,
+            "spotted": spotted}
 
 
 def kg_pipeline_from_transcripts(
@@ -84,6 +86,7 @@ def kg_pipeline_from_transcripts(
     target_meta: DataFrame,
     diseases: DataFrame,
     dialect: str = "v6",
+    include_entities: bool = False,
 ) -> dict:
     """The full triple factory over the authoritative input table
     (conv_id, turn_idx, role, text, tool, ts):
@@ -109,12 +112,17 @@ def kg_pipeline_from_transcripts(
     )
     result["mentions"] = mentions
     result["facts"] = facts
-    result["entities"] = entity_graph(spark, mentions)
+    result["spotted"] = core["spotted"]
+    if include_entities:
+        # opt-in: the CC fixpoint inside entity_graph runs EAGER count()
+        # iterations; only the materializing job should pay for it
+        result["entities"] = entity_graph(spark, core["spotted"])
     return result
 
 
-def entity_graph(spark: SparkSession, mentions: DataFrame) -> DataFrame:
-    """Free-text entity mentions -> canonical entity table.
+def entity_graph(spark: SparkSession, spotted: DataFrame) -> DataFrame:
+    """Free-text entity mentions (extract.spot_mentions output) ->
+    canonical entity table.
 
     1. salted mention counts per surface form (head entities like 'US'
        dominate — the skew path, link.salted_count);
@@ -126,8 +134,8 @@ def entity_graph(spark: SparkSession, mentions: DataFrame) -> DataFrame:
     """
     from smh_to_jsonld_spark.operators import canon, link
 
-    ents = mentions.filter(F.col("kind") == "entity").select(
-        link.normalize_surface(F.col("f1")).alias("surface")
+    ents = spotted.filter(F.col("kind") == "entity").select(
+        link.normalize_surface(F.col("term")).alias("surface")
     )
     counts = link.salted_count(ents, ["surface"], salt_buckets=16)
 

@@ -2,15 +2,15 @@
 
 from pyspark.sql import functions as F
 
-from smh_to_jsonld_spark.plans.pipeline import entity_graph, extract_and_link
+from smh_to_jsonld_spark.operators.extract import extract_mentions, spot_mentions
+from smh_to_jsonld_spark.plans.pipeline import entity_graph
 from smh_to_jsonld_spark.sources import synth
 
 
 def test_entity_graph_clusters_surface_forms(spark, spec):
-    core = extract_and_link(spark, synth.transcripts_df(spark, spec))
-    ents = entity_graph(spark, core["mentions"])
+    spotted = spot_mentions(synth.transcripts_df(spark, spec))
+    ents = entity_graph(spark, spotted)
     rows = {r.canonical: r for r in ents.collect()}
-    core["mentions"].unpersist()
 
     # the head entity: 'US' mentions arrive as 'United States' in fact text
     assert "US" in rows
@@ -19,20 +19,21 @@ def test_entity_graph_clusters_surface_forms(spark, spec):
     assert us.n_mentions > 0
     assert us.iri.startswith("kg:entity/")
 
-    # every cluster IRI is unique and deterministic
+    # every cluster IRI is unique and deterministic across recomputation
     iris = [r.iri for r in rows.values()]
     assert len(iris) == len(set(iris))
-    again = {r.canonical: r.iri for r in entity_graph(spark, core["mentions"]).collect()}
+    again = {r.canonical: r.iri for r in entity_graph(spark, spotted).collect()}
     assert {c: r.iri for c, r in rows.items()} == again
 
 
-def test_entity_mentions_exist_in_scale_generator(spark):
+def test_mentions_and_spotting_at_scale(spark):
     tr = synth.transcripts_at_scale(spark, 50, 24)
-    from smh_to_jsonld_spark.operators.extract import extract_mentions
-
     m = extract_mentions(tr)
     kinds = {r.kind: r.n for r in m.groupBy("kind").agg(F.count("*").alias("n")).collect()}
-    assert kinds.get("entity", 0) > 0
-    assert kinds.get("concept", 0) > 0
-    assert kinds.get("date", 0) > 0
-    assert kinds.get("fact", 0) > 0
+    assert kinds.get("fact", 0) > 0 and kinds.get("header", 0) > 0
+
+    s = spot_mentions(tr)
+    skinds = {r.kind: r.n for r in s.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert skinds.get("entity", 0) > 0
+    assert skinds.get("concept", 0) > 0
+    assert skinds.get("date", 0) > 0

@@ -14,7 +14,16 @@ def test_turn_order_invariant(spark, spec):
 def test_mention_kinds_present(spark, spec):
     m = extract.extract_mentions(synth.transcripts_df(spark, spec))
     kinds = {r.kind for r in m.select("kind").distinct().collect()}
-    assert {"round", "header", "kv", "contributor", "file", "fact", "entity", "concept", "date"} <= kinds
+    assert kinds == {"round", "header", "kv", "contributor", "file", "fact"}
+
+
+def test_spotted_mention_kinds(spark, spec):
+    s = extract.spot_mentions(synth.transcripts_df(spark, spec))
+    kinds = {r.kind for r in s.select("kind").distinct().collect()}
+    assert kinds == {"entity", "concept", "date"}
+    # fact turns verbalize state names => spotted as entities
+    ents = {r.term for r in s.filter("kind = 'entity'").select("term").distinct().collect()}
+    assert "United States" in ents
 
 
 def test_conversation_dim(spark, spec):
