@@ -64,33 +64,67 @@ def shingles(text_col, n: int = 3):
     )
 
 
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list, max_bucket: int | None):
+    """Shared candidate-pair generator: group rows into buckets, emit all
+    ordered (id_a < id_b) pairs per bucket IN ONE PASS (collect_list +
+    nested-lambda pair expansion). Compared to a bucket self-join this
+    halves the upstream computation (a self-join recomputes the bucket
+    input for each side) and gives a natural place to drop stop buckets.
+
+    ``keyed``: (id, sz, *bucket_cols). ``max_bucket``: drop buckets larger
+    than this (stop-shingle filtering — at corpus scale ubiquitous shingles
+    produce quadratic garbage pairs and MUST be dropped).
+    """
+    buckets = keyed.groupBy(*bucket_cols).agg(
+        F.collect_list(F.struct("id", "sz")).alias("ms")
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("ms"),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        x["sz"].alias("sz_a"),
+                        y["id"].alias("id_b"),
+                        y["sz"].alias("sz_b"),
+                    ),
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select(
+        "p.id_a", "p.sz_a", "p.id_b", "p.sz_b"
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Exact token/n-gram-set Jaccard >= threshold pairs via shingle-blocked
-    self-join: explode shingles, equi-join on shingle, count shared, then
-    |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing >=1 shingle are ever
-    materialized (the blocking), and the join key is a hash, not the text.
+    """Exact token/n-gram-set Jaccard >= threshold pairs via shingle
+    blocking: explode shingles, bucket per shingle hash, expand pairs
+    within buckets (single pass — no self-join), count shared shingles,
+    then |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing >=1 shingle are ever
+    materialized, and the bucket key is a hash, not the text.
+    ``max_bucket`` drops stop-shingles (scale knob; None = exact).
     """
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).withColumn("sz", F.size("sh"))
-    exploded = sh.select(
-        "id", "sz", F.explode("sh").alias("g")
-    ).withColumn("g", F.xxhash64("g"))
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "g"
-    )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "g"
+    exploded = sh.select("id", "sz", F.explode("sh").alias("g")).withColumn(
+        "g", F.xxhash64("g")
     )
     inter = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(exploded, ["g"], max_bucket)
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("shared"))
     )
@@ -160,10 +194,10 @@ def minhash_lsh_pairs(
     ).select("id", "b.band", "b.bh")
 
     cand = (
-        band_rows.alias("x")
-        .join(band_rows.alias("y"), ["band", "bh"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        _bucket_pairs(
+            band_rows.withColumn("sz", F.lit(0)), ["band", "bh"], max_bucket=None
+        )
+        .select("id_a", "id_b")
         .distinct()
     )
     # verify candidates with exact shingle Jaccard
@@ -241,16 +275,13 @@ def simhash_neardup_pairs(
             )
         ).alias("c"),
     ).select("id", "sig", "c.chunk", "c.ck")
+    # ride the generic bucket-pair expansion: the payload slot carries the
+    # 64-bit signature (sz_a/sz_b are longs)
     cand = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk", "ck"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
+        _bucket_pairs(
+            chunks.withColumn("sz", F.col("sig")), ["chunk", "ck"], max_bucket=None
         )
+        .select("id_a", "id_b", F.col("sz_a").alias("sig_a"), F.col("sz_b").alias("sig_b"))
         .distinct()
     )
     return (
