@@ -57,6 +57,61 @@ def mention_counts_stream(stream: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+CONV_STATE_SCHEMA = "n_turns long, max_turn_idx int, n_fact_turns long"
+CONV_OUT_SCHEMA = (
+    "conv_id string, n_turns long, max_turn_idx int, n_fact_turns long, closed boolean"
+)
+
+
+def conversation_sessions(stream: DataFrame, watermark: str = "1 hour",
+                          idle_timeout_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom stateful operator: per-conversation running session state via
+    applyInPandasWithState.
+
+    Keeps (n_turns, max_turn_idx, n_fact_turns) per conv_id; emits an
+    updated summary row on every micro-batch a conversation appears in,
+    and a final `closed=true` row when the conversation has been idle past
+    the processing-time timeout. State is bounded: eviction on timeout is
+    what makes this safe at transcript scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, max_turn, n_fact = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(conv_id, n_turns, max_turn, n_fact, True)],
+                columns=["conv_id", "n_turns", "max_turn_idx", "n_fact_turns", "closed"],
+            )
+            return
+        n_turns, max_turn, n_fact = state.get if state.exists else (0, -1, 0)
+        for pdf in pdf_iter:
+            n_turns += len(pdf)
+            max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+            n_fact += int(pdf["text"].str.startswith("observed target=").sum())
+        state.update((n_turns, max_turn, n_fact))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [(conv_id, n_turns, max_turn, n_fact, False)],
+            columns=["conv_id", "n_turns", "max_turn_idx", "n_fact_turns", "closed"],
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CONV_OUT_SCHEMA,
+            stateStructType=CONV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, out_path: str, checkpoint: str, mode: str = "append"
 ) -> None:

@@ -78,3 +78,40 @@ def test_streaming_ingestion_available_now(spark, spec, tmp_path):
     ingest.run_available_now(counts, out2, str(tmp_path / "ckpt2"))
     rows = spark.read.parquet(out2).collect()
     assert sum(r.n_mentions for r in rows) > 0
+
+
+def test_stateful_conversation_sessions(spark, spec, tmp_path):
+    """applyInPandasWithState sessionization over the file stream."""
+    from smh_to_jsonld_spark.streaming import ingest
+
+    src = str(tmp_path / "in")
+    synth.transcripts_df(spark, spec).write.parquet(src)
+    sessions = ingest.conversation_sessions(ingest.read_transcript_stream(spark, src))
+    q = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("conv_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # with ProcessingTimeTimeout the query stays up to fire state
+    # timeouts (closed=true rows) — poll until the data has drained,
+    # then stop, instead of awaiting natural termination
+    import time
+
+    deadline = time.time() + 120
+    n_convs = 10
+    while time.time() < deadline:
+        if spark.sql("SELECT count(DISTINCT conv_id) c FROM conv_sessions").first().c == n_convs:
+            break
+        time.sleep(2)
+    q.stop()
+    rows = spark.sql(
+        "SELECT conv_id, max(n_turns) AS n FROM conv_sessions GROUP BY conv_id"
+    ).collect()
+    got = {r.conv_id: r.n for r in rows}
+    expected = {}
+    for cid, *_ in synth.transcripts_rows(spec):
+        expected[cid] = expected.get(cid, 0) + 1
+    assert got == expected
