@@ -401,7 +401,7 @@ def q_events_json_extract(spark, sf):
     """semi-structured props extraction (C3/C4 regex family)."""
     ev = _t(spark, sf, "events")
     k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
-    return ev.groupBy("event_type").agg(F.sum(k).alias("sum_k"))
+    return ev.groupBy("event_type").agg(_dec_sum(k, "sum_k"))
 
 
 def q_multimodal_features(spark, sf):
@@ -688,7 +688,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             SELECT event_type,
-                   sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DECIMAL(18,4))) AS DOUBLE) AS sum_k
             FROM events GROUP BY event_type
         """,
         "multimodal_features": """

@@ -64,8 +64,11 @@ def _variable_measured(
         "round_id", "model_id", F.col("target").alias("__observed")
     ).join(F.broadcast(target_meta), "round_id")
     if dialect == "v6":
+        # NULL observed set behaves like the reference's empty set (keeps
+        # all targets): ANSI size(NULL) is NULL, so coalesce to 0 first
+        # (create_jsonld_v6_0_0.py:237-241, `if observed_targets and ...`).
         pairs = pairs.filter(
-            (F.size("__observed") == 0)
+            (F.coalesce(F.size("__observed"), F.lit(0)) == 0)
             | F.array_contains(F.col("__observed"), F.col("target_id"))
         )
     else:

@@ -91,12 +91,16 @@ def fuzzy_candidates(
     from smh_to_jsonld_spark.operators.aggregates import top1_per_group
 
     ranked = scored.select("surface", "canonical", "score", "alias")
-    # deterministic top-1: score desc, then alias asc as tiebreak
+    # deterministic top-1 with a TOTAL order: score desc, then alias asc.
+    # (struct asc over (-score, alias): ties on score fall through to the
+    # lexicographically smallest alias — no nondeterministic row_number.)
     best = top1_per_group(
-        ranked.withColumn("__ord", F.struct(F.col("score"), F.lit(1) - F.length("alias"))),
+        ranked.withColumn(
+            "__ord", F.struct((F.lit(0) - F.col("score")).alias("s"), F.col("alias"))
+        ),
         ["surface"],
         "__ord",
-        desc=True,
+        desc=False,
     )
     return best.select("surface", "canonical", "score")
 
