@@ -27,29 +27,87 @@ FACT_FIELDS = (
 )
 
 
-def distinct_field_values(facts: DataFrame, keys=("round_id", "model_id")) -> DataFrame:
-    """A1: per-model sorted-distinct value arrays for every fact field.
-
-    One hash aggregation (partial+final). Output: one row per key with
-    array columns named after each field, plus ``max_horizon`` and
-    ``origin_date_max`` used by temporal coverage (C7).
+def _ordered_distinct(order_col: str, value_col: str):
+    """First-appearance-ordered distinct values (pandas `Series.unique`
+    semantics, utils/model_output_smh.py:65-72): collect (order, value)
+    pairs, sort by order, project values, array_distinct (which keeps the
+    FIRST occurrence of each value — Spark guarantees first-wins order).
+    NULLs are skipped to match collect_set.
     """
-    aggs = [F.sort_array(F.collect_set(c)).alias(c) for c in FACT_FIELDS if c in facts.columns]
+    pairs = F.collect_list(
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")),
+        )
+    )
+    return F.array_distinct(F.transform(F.array_sort(pairs), lambda s: s["v"]))
+
+
+def distinct_field_values(
+    facts: DataFrame, keys=("round_id", "model_id"), order_col: str | None = None
+) -> DataFrame:
+    """A1: per-model distinct value arrays for every fact field.
+
+    Default (``order_col=None``): sorted-distinct — one hash aggregation
+    (partial+final), deterministic, the round-1 behavior.
+
+    ``order_col`` given: FIRST-APPEARANCE order, replicating the
+    reference's pandas insertion-order distinct lists
+    (utils/model_output_smh.py:65-72) byte-for-byte, including the
+    "last origin_date wins" temporal quirk (utils/temporal.py loop:
+    ``origin_date_max`` becomes the LAST element in appearance order,
+    not max()). Two shuffles, both with map-side partial aggregation:
+    (1) groupBy(keys + fields) min(order) collapses repeated fact combos
+    (the `value` column varies per row, the field combo does not), so
+    (2) the per-field collect_list runs over DISTINCT combos only —
+    bounded by the data's combinatorial structure, not raw row count.
+
+    Output: one row per key with array columns named after each field,
+    plus ``max_horizon`` and ``origin_date_max`` used by temporal
+    coverage (C7).
+    """
+    fields = [c for c in FACT_FIELDS if c in facts.columns]
+    if order_col is None:
+        aggs = [F.sort_array(F.collect_set(c)).alias(c) for c in fields]
+        aggs.append(F.max("horizon").alias("max_horizon"))  # A3
+        aggs.append(F.max("origin_date").alias("origin_date_max"))
+        return facts.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    combos = facts.groupBy(*[F.col(k) for k in list(keys) + fields]).agg(
+        F.min(order_col).alias("__o")
+    )
+    aggs = [_ordered_distinct("__o", c).alias(c) for c in fields]
     aggs.append(F.max("horizon").alias("max_horizon"))  # A3
-    aggs.append(F.max("origin_date").alias("origin_date_max"))
-    return facts.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    out = combos.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    # reference last-origin-date-wins (utils/temporal.py): the last
+    # distinct origin_date in first-appearance order, NOT max().
+    return out.withColumn("origin_date_max", F.element_at("origin_date", -1))
 
 
-def merge_field_values_global(per_model: DataFrame, key="round_id") -> DataFrame:
-    """A2: cross-model union with dedup (merge_field_values analog).
+def merge_field_values_global(
+    per_model: DataFrame, key="round_id", model_order_col: str | None = None
+) -> DataFrame:
+    """A2: cross-model union with dedup (merge_field_values analog,
+    create_jsonld_v6_0_0.py:50-58).
 
-    array_distinct(flatten(collect_list(...))) — no extra shuffle beyond
+    Default: sorted output. With ``model_order_col``: models are
+    concatenated in that order and array_distinct keeps first appearance
+    — the reference's dict-insertion merge order. No extra shuffle beyond
     the groupBy; each field column is already a small array per model.
     """
     arr_cols = [c for c in FACT_FIELDS if c in per_model.columns]
-    aggs = [
-        F.sort_array(F.array_distinct(F.flatten(F.collect_list(c)))).alias(c) for c in arr_cols
-    ]
+    if model_order_col is None:
+        aggs = [
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list(c)))).alias(c)
+            for c in arr_cols
+        ]
+    else:
+        def _merged(c):
+            pairs = F.collect_list(
+                F.struct(F.col(model_order_col).alias("o"), F.col(c).alias("v"))
+            )
+            return F.array_distinct(F.flatten(F.transform(F.array_sort(pairs), lambda s: s["v"])))
+        aggs = [_merged(c).alias(c) for c in arr_cols]
     return per_model.groupBy(key).agg(*aggs)
 
 

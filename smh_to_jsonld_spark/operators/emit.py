@@ -94,8 +94,12 @@ def _variable_measured(
         ).alias("temporalUnit"),
     )
     return (
+        # order by tasks-config insertion position (target_pos) when the
+        # dim carries it — build_target_objects iterates dict order
+        # (create_jsonld_v6_0_0.py:239) — else fall back to target_id
         pairs.select("round_id", "model_id",
-                     F.struct(F.col("target_id").alias("k"),
+                     F.struct((F.col("target_pos") if "target_pos" in target_meta.columns
+                               else F.col("target_id")).alias("k"),
                               target_obj.alias("v")).alias("__kv"))
         .groupBy("round_id", "model_id")
         .agg(_sorted_values(F.collect_list("__kv")).alias("variableMeasured"))
@@ -107,8 +111,11 @@ def _spatial_coverage(field_values: DataFrame, spark: SparkSession) -> DataFrame
     # explode_outer keeps zero-location models so they still get the
     # always-present-when-enriched empty spatialCoverage list
     # (utils/jsonld.py:58 sets [] unconditionally).
+    # posexplode preserves the location array's order through the lookup
+    # join + re-collect, so spatialCoverage mirrors field_values order
+    # (reference utils/jsonld.py:56-63 appends in distinct-list order).
     locs = field_values.select(
-        "round_id", "model_id", F.explode_outer("location").alias("fips")
+        "round_id", "model_id", F.posexplode_outer("location").alias("pos", "fips")
     )
     enriched = location_lookup(locs, spark, fips_col="fips")
     ctx = F.struct(
@@ -134,7 +141,7 @@ def _spatial_coverage(field_values: DataFrame, spark: SparkSession) -> DataFrame
     # collect_list skips NULL entries => zero-location models collect []
     kv = F.when(
         F.col("fips").isNotNull(),
-        F.struct(F.col("fips").cast("string").alias("k"), node.alias("v")),
+        F.struct(F.col("pos").alias("k"), node.alias("v")),
     )
     return (
         enriched.select("round_id", "model_id", kv.alias("__kv"))

@@ -280,6 +280,9 @@ def facts_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFrame:
     return facts.join(conv_dim.select("conv_id", "round_id", "model_name"), "conv_id").select(
         "round_id",
         F.col("model_name").alias("model_id"),
+        # stable (conv_id, turn_idx) order carried so downstream distinct
+        # lists can replicate the reference's first-appearance ordering
+        F.struct(F.col("conv_id"), F.col("turn_idx")).alias("turn_order"),
         F.to_date("f6").alias("origin_date"),
         F.col("f5").alias("scenario_id"),
         F.col("f2").alias("location_surface"),

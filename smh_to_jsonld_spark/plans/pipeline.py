@@ -30,14 +30,20 @@ def hub_pipeline_from_frames(
     target_meta: DataFrame,
     diseases: DataFrame,
     dialect: str = "v6",
+    fact_order_col: str | None = None,
 ) -> dict:
     """Run the full JSON-LD construction over already-structured frames.
 
     ``dialect`` selects the hubverse schema emission rules: "v6" (6.0.0)
     or "v5" (5.1.0) — the reference's two script variants, dispatched by
     version sniffing (run_pipeline.py:256-271; sources.config.dialect_of).
+
+    ``fact_order_col``: name of a column on ``facts`` giving a stable row
+    order; when set, distinct value lists (and hence spatialCoverage /
+    ageGroups / temporal origin pick) replicate the reference's pandas
+    first-appearance order instead of sorted order (SURVEY.md §7.4-5).
     """
-    field_values = aggregates.distinct_field_values(facts)
+    field_values = aggregates.distinct_field_values(facts, order_col=fact_order_col)
     file_hist = aggregates.file_type_histogram(files)
     docs = emit.model_docs(
         spark, metadata, field_values, target_meta, file_hist, dialect=dialect
@@ -108,7 +114,8 @@ def kg_pipeline_from_transcripts(
     files = extract.files_from_mentions(mentions, conv_dim)
 
     result = hub_pipeline_from_frames(
-        spark, metadata, facts, files, target_meta, diseases, dialect=dialect
+        spark, metadata, facts, files, target_meta, diseases, dialect=dialect,
+        fact_order_col="turn_order",
     )
     result["mentions"] = mentions
     result["facts"] = facts

@@ -23,11 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 VERSION_RE = re.compile(r"v?(\d+\.\d+\.\d+)")
 
+# target_pos = config insertion order: build_target_objects iterates
+# `target_metadata.items()` (create_jsonld_v6_0_0.py:239), so emitted
+# variableMeasured order is tasks.json dict order, not sorted order.
 TARGET_META_SCHEMA = (
     "round_id string, target_id string, target_name string, description string,"
     " target_units string, target_keys map<string,string>, target_type string,"
     " is_step_ahead boolean, time_unit string, uri string, alternative_name string,"
-    " available_output_types array<string>"
+    " available_output_types array<string>, target_pos int"
 )
 
 
@@ -115,7 +118,7 @@ def parse_tasks_config(path: str) -> dict:
 def target_metadata_df(spark: SparkSession, cfg: dict) -> DataFrame:
     rows = []
     for rnd in cfg["rounds"]:
-        for t in rnd["targets"].values():
+        for pos, t in enumerate(rnd["targets"].values()):
             rows.append(
                 (
                     rnd["round_id"],
@@ -130,6 +133,7 @@ def target_metadata_df(spark: SparkSession, cfg: dict) -> DataFrame:
                     t["uri"],
                     t["alternative_name"],
                     sorted(t["_ots"]),
+                    pos,
                 )
             )
     return spark.createDataFrame(rows, schema=TARGET_META_SCHEMA)

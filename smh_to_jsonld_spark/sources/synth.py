@@ -257,7 +257,7 @@ def files_df(spark: SparkSession, spec: dict) -> DataFrame:
 def target_metadata_df(spark: SparkSession, spec: dict) -> DataFrame:
     rows = []
     for rnd in spec["rounds"]:
-        for t in rnd["target_metadata"]:
+        for pos, t in enumerate(rnd["target_metadata"]):
             rows.append(
                 (
                     rnd["round_id"],
@@ -272,13 +272,14 @@ def target_metadata_df(spark: SparkSession, spec: dict) -> DataFrame:
                     t["uri"],
                     t["alternative_name"],
                     sorted(rnd["output_type_names"]),
+                    pos,  # config insertion order (variableMeasured order)
                 )
             )
     schema = (
         "round_id string, target_id string, target_name string, description string,"
         " target_units string, target_keys map<string,string>, target_type string,"
         " is_step_ahead boolean, time_unit string, uri string, alternative_name string,"
-        " available_output_types array<string>"
+        " available_output_types array<string>, target_pos int"
     )
     return spark.createDataFrame(rows, schema=schema)
 
