@@ -310,20 +310,28 @@ def q_jaccard_pairs(spark, sf):
 
 
 def q_minhash_lsh_pairs(spark, sf):
-    """dedup: MinHash+LSH candidate pairs, exact-verified (no SQL oracle —
-    xxhash64 family not expressible in DuckDB)."""
+    """dedup: MinHash+LSH candidates, exact-Jaccard verified. ORACLE-
+    CHECKED: at 32 hashes / 16 bands (r=2) a J>=0.8 pair is missed with
+    prob (1-J^2)^16 < 1e-7, so the verified output equals the exact
+    J>=0.8 pair set the DuckDB oracle computes (deterministic seeds =>
+    stable). max_bucket=500 exercises the degenerate-band cap."""
     from smh_to_jsonld_spark.operators import dedup
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, shingle_n=1, threshold=0.5)
+    return dedup.minhash_lsh_pairs(
+        d, num_hashes=32, bands=16, shingle_n=1, threshold=0.8, max_bucket=500
+    )
 
 
 def q_simhash_neardup(spark, sf):
-    """dedup: SimHash hamming near-dups (pandas-UDF signature; no oracle)."""
+    """dedup: SimHash hamming near-dups. ORACLE-CHECKED: the signature is
+    md5-low64-based (DuckDB md5_number_upper recomputes it exactly) and
+    16-bit pigeonhole blocking is EXACT for hamming<=3, so blocked output
+    equals the all-pairs SQL result."""
     from smh_to_jsonld_spark.operators import dedup
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    return dedup.simhash_neardup_pairs(d, max_hamming=16)
+    return dedup.simhash_neardup_pairs(d, max_hamming=3)
 
 
 def q_embedding_neardup(spark, sf):
@@ -344,11 +352,18 @@ def q_embedding_neardup(spark, sf):
 
 
 def q_embedding_neardup_lsh(spark, sf):
-    """dedup: hyperplane-LSH-bucketed near-dup (scale path; no oracle)."""
+    """dedup: (k,L) hyperplane-LSH near-dup, exact-cosine verified.
+    ORACLE-CHECKED against the brute-force SQL: at threshold 0.40
+    (p_bit=0.63), k=2 planes x L=16 tables miss a true pair with
+    (1-0.63^2)^16 ~ 3e-4 — verified empirically to equal the exact set on
+    this data (deterministic seeds => stable). Production defaults
+    (k=16, L=8) suit the usual 0.9 threshold; low threshold needs small k."""
     from smh_to_jsonld_spark.operators import dedup
 
     e = _t(spark, sf, "embeddings")
-    return dedup.embedding_neardup_pairs(e, threshold=0.40, n_planes=4)
+    return dedup.embedding_neardup_pairs(
+        e, threshold=0.40, n_planes=2, n_tables=16, max_bucket=100_000
+    )
 
 
 def q_cosine_topk(spark, sf):
@@ -660,6 +675,65 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 200 AND b.vec_id < 200
               AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40
+        """,
+        # LSH variant: (k=2, L=16) hyperplane tables + exact verification
+        # has empirical recall 1.0 on this data, so the output equals the
+        # exact >= 0.40 pair set (cosine reported for value-hash parity).
+        "embedding_neardup_lsh": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40
+        """,
+        # MinHash LSH at 32/16 bands: candidate recall at J>=0.8 is
+        # 1-(1-J^2)^16 > 1-1e-7; verification is exact, so output equals
+        # the exact J>=0.8 token-set pairs.
+        "minhash_lsh_pairs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+              FROM documents WHERE doc_id < 300),
+            e AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS g FROM t),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   round(shared / CAST(sa + sb - shared AS DOUBLE), 4) AS jaccard
+            FROM p WHERE shared / CAST(sa + sb - shared AS DOUBLE) >= 0.8
+        """,
+        # SimHash: md5_number_upper == Spark's md5-low64 (first 8 digest
+        # bytes, little-endian); 16-bit pigeonhole blocking is exact for
+        # hamming<=3, so all-pairs SQL equals the blocked Spark result.
+        "simhash_neardup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents WHERE doc_id < 300),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (md5_number_upper(tok) >> b.b) & 1 = 1
+                              THEN 1 ELSE -1 END) AS s
+              FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+              GROUP BY doc_id, b.b),
+            usig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS u
+              FROM bits GROUP BY doc_id),
+            sig AS (
+              SELECT d.doc_id,
+                     coalesce(CAST(u::HUGEINT
+                       - CASE WHEN u >= (1::HUGEINT << 63)::UBIGINT
+                              THEN (1::HUGEINT << 64) ELSE 0 END AS BIGINT), 0) AS sig
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+              LEFT JOIN usig u USING (doc_id))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sig, b.sig)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

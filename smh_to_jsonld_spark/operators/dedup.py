@@ -9,19 +9,21 @@ Scale notes (the whole point of these):
   candidate generation is an equi-join on (band, band_hash) buckets so the
   self-join is blocked, never O(n^2). Verification re-computes exact
   Jaccard only for candidates.
-- SimHash: 64-bit signature via a vectorized pandas UDF (numpy bit ops),
-  near-dup = hamming distance <= d on bucket-blocked candidates.
-- embedding near-dup: random-hyperplane LSH buckets (seeded, deterministic)
-  then exact cosine within bucket.
+- SimHash: 64-bit signature entirely in Catalyst (explode tokens ->
+  md5-low64 -> 64 flat bit-sum aggregates, map-side combined); near-dup =
+  hamming distance <= d on pigeonhole-blocked candidates. md5 (not
+  xxhash64) so DuckDB's md5_number_upper can independently recompute the
+  signatures for the correctness oracle.
+- embedding near-dup: (k, L) random-hyperplane LSH tables (seeded,
+  deterministic), capped single-pass bucket expansion, exact cosine
+  verification.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from smh_to_jsonld_spark.operators.textstats import fingerprint, tokens_of
 
@@ -147,11 +149,20 @@ def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
 
     Hash family: xxhash64(shingle, seed=i) — k independent seeds as
     literals; entirely JVM-side.
+
+    NB: the seed MUST be closed over via a helper (not a lambda default
+    arg): PySpark gives a two-parameter transform-lambda the signature
+    (element, index), so `lambda s, i=i:` silently binds i to the array
+    index column and every "independent" hash collapses to the same
+    function — a bug this module shipped with in round 1, caught by the
+    J>=0.8 SQL oracle.
     """
     sh = shingles(text_col, shingle_n)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
-    )
+
+    def _mh(seed: int):
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    return F.array(*[_mh(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -162,12 +173,17 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """MinHash banding: signature -> `bands` band-hashes -> bucket equi-join
     -> candidate pairs -> exact Jaccard verification >= threshold.
 
     rows_per_band = num_hashes/bands tunes the S-curve; with 32/8 the
     candidate recall at J=0.5 is ~0.9. Verification keeps precision exact.
+
+    ``max_bucket`` caps degenerate band buckets (empty/near-empty docs all
+    share identical signatures and would otherwise expand quadratically);
+    inspect drops with ``bucket_stats`` before tightening it.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -195,7 +211,7 @@ def minhash_lsh_pairs(
 
     cand = (
         _bucket_pairs(
-            band_rows.withColumn("sz", F.lit(0)), ["band", "bh"], max_bucket=None
+            band_rows.withColumn("sz", F.lit(0)), ["band", "bh"], max_bucket=max_bucket
         )
         .select("id_a", "id_b")
         .distinct()
@@ -222,44 +238,75 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (vectorized numpy bit ops).
+def _md5_low64(tok):
+    """First 8 md5 digest bytes as a little-endian int64 — entirely
+    Catalyst (md5 -> hex -> 8x conv/shiftleft OR-chain). Chosen over
+    xxhash64 because DuckDB's ``md5_number_upper`` computes the SAME
+    value, making SimHash signatures (and hence the near-dup pairs)
+    independently verifiable by the driver's SQL oracle."""
+    hx = F.md5(F.encode(tok, "UTF-8"))
+    b = None
+    for j in range(8):
+        term = F.shiftleft(F.conv(F.substring(hx, j * 2 + 1, 2), 16, 10).cast("long"), 8 * j)
+        b = term if b is None else b.bitwiseOR(term)
+    return b
 
-    Deterministic: token hash = md5-derived 64 bits. Arrow-batched —
-    the one Python operator here, kept because 64 per-bit majority
-    accumulators are awkward to express in Catalyst.
+
+_POWERS64 = [((1 << b) if b < 63 else -(2 ** 63)) for b in range(64)]
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per row — NO Python in the path (the round-1 pandas
+    UDF looped per row/per token; this is its exact bit-for-bit
+    replacement, verified in tests/test_dedup_similarity.py).
+
+    Shape: explode whitespace tokens -> md5-low64 -> 64 flat
+    ``sum(bit_get*2-1)`` aggregates (whole-stage codegen, map-side
+    partial agg collapses each doc's tokens within a partition, so the
+    shuffle moves 64 longs per doc, not tokens). Zero-token rows get
+    sig=0 via the left join, matching the old UDF.
     """
-    import hashlib
-
-    weights = 1 << np.arange(64, dtype=np.uint64)
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (t or "").lower().split():
-            bits = np.unpackbits(
-                np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8),
-                bitorder="little",
-            ).astype(np.int64)
-            acc += 2 * bits - 1
-        v = np.sum(weights[acc > 0], dtype=np.uint64)
-        out[i] = v.astype(np.int64)
-    return pd.Series(out)
-
-
-def simhash64(col):
-    """Column wrapper; the pandas UDF is built lazily because type parsing
-    needs an active SparkSession (safe to import without one)."""
-    return pandas_udf(_simhash_batch, "long")(col)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    ).withColumn("h", _md5_low64(F.col("tok")))
+    sums = toks.groupBy("id").agg(
+        *[F.sum(F.bit_get("h", F.lit(b)) * 2 - 1).alias(f"_b{b}") for b in range(64)]
+    )
+    sig = None
+    for b in range(64):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(_POWERS64[b]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    sums = sums.select("id", sig.alias("sig"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(sums, "id", "left")
+        .select("id", F.coalesce("sig", F.lit(0).cast("long")).alias("sig"))
+    )
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks:
     two signatures within hamming<=3 of 64 bits must share at least one of
-    the 4 16-bit chunks exactly (pigeonhole) — that chunk is the join key.
+    the 4 16-bit chunks exactly (pigeonhole) — that chunk is the join key,
+    so the blocked candidate set EQUALS the all-pairs result (no recall
+    loss). ``max_bucket`` caps degenerate chunk buckets (e.g. a corpus-wide
+    boilerplate chunk) at the cost of that exactness — report what was
+    dropped via ``bucket_stats`` rather than capping silently.
     """
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sig = simhash_signatures(df, id_col, text_col)
     chunks = sig.select(
         "id",
         "sig",
@@ -279,7 +326,7 @@ def simhash_neardup_pairs(
     # 64-bit signature (sz_a/sz_b are longs)
     cand = (
         _bucket_pairs(
-            chunks.withColumn("sz", F.col("sig")), ["chunk", "ck"], max_bucket=None
+            chunks.withColumn("sz", F.col("sig")), ["chunk", "ck"], max_bucket=max_bucket
         )
         .select("id_a", "id_b", F.col("sz_a").alias("sig_a"), F.col("sz_b").alias("sig_b"))
         .distinct()
@@ -311,22 +358,9 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
-def embedding_neardup_pairs(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.9,
-    n_planes: int = 8,
-    dim: int = 64,
-    seed: int = 42,
-) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit string of `n_planes`
-    projections; exact cosine verified within buckets. High-cosine pairs
-    land in the same bucket with prob (1 - theta/pi)^n_planes.
-    """
-    planes = _hyperplanes(dim, n_planes, seed)
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sign_bits = [
+def _sign_bucket(vec, planes) -> "F.Column":
+    """Pack the sign bits of `planes` projections into one int bucket id."""
+    bits = [
         (
             F.aggregate(
                 F.zip_with(
@@ -341,20 +375,77 @@ def embedding_neardup_pairs(
         ).cast("int")
         for plane in planes
     ]
-    bucket = F.concat_ws("", *[b.cast("string") for b in sign_bits])
+    out = None
+    for i, b in enumerate(bits):
+        term = F.shiftleft(b.cast("long"), i)
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup, the classic (k, L) scheme:
+    L independent tables of k=``n_planes`` sign bits each. A pair at
+    cosine c collides in one table with p = (1 - arccos(c)/pi)^k and is
+    missed by ALL tables with (1-p)^L — k trades candidate volume
+    against recall, L buys the recall back. Candidates are generated per
+    (table, bucket) through ``_bucket_pairs`` (single-pass expansion, NOT
+    a self-join), deduped, then exact-cosine verified via two hash joins
+    back to the vectors.
+
+    ``max_bucket`` caps any single bucket's expansion: a degenerate
+    bucket (all-zero vectors, one dense cluster) otherwise goes O(B^2)
+    at corpus scale — the round-1 version self-joined uncapped 2^4
+    buckets, which is exactly the 100x blow-up this replaces. Dropped
+    buckets are observable via ``bucket_stats`` (no silent truncation:
+    log them at the call site).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _sign_bucket(vec, _hyperplanes(dim, n_planes, seed + t)).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
     keyed = df.select(
-        F.col(id_col).alias("id"), vec.alias("v"), bucket.alias("bucket")
-    )
+        F.col(id_col).alias("id"), F.explode(tables).alias("tb")
+    ).select("id", F.lit(0).alias("sz"), "tb.tbl", "tb.bkt")
     cand = (
-        keyed.alias("x")
-        .join(keyed.alias("y"), "bucket")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            cosine_expr(F.col("x.v"), F.col("y.v")).alias("cosine"),
-        )
+        _bucket_pairs(keyed, ["tbl", "bkt"], max_bucket)
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return cand.filter(F.col("cosine") >= threshold).select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    vecs = df.select(F.col(id_col).alias("id"), vec.alias("v"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def bucket_stats(keyed: DataFrame, bucket_cols: list) -> DataFrame:
+    """Bucket-size histogram for any blocked operator's key frame —
+    the observability companion to ``max_bucket`` (call it to report
+    how many buckets/rows a cap would drop instead of capping silently).
+    """
+    return (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .orderBy(F.col("bucket_size").desc())
     )

@@ -39,13 +39,47 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert all(2 not in p for p in got)
 
 
+def _simhash_reference(text: str) -> int:
+    """Row-at-a-time reference implementation (the round-1 pandas UDF
+    body) used ONLY to pin the Catalyst rewrite bit-for-bit."""
+    import hashlib
+
+    import numpy as np
+
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in (text or "").lower().split():
+        bits = np.unpackbits(
+            np.frombuffer(hashlib.md5(tok.encode()).digest()[:8], dtype=np.uint8),
+            bitorder="little",
+        ).astype(np.int64)
+        acc += 2 * bits - 1
+    weights = 1 << np.arange(64, dtype=np.uint64)
+    return int(np.sum(weights[acc > 0], dtype=np.uint64).astype(np.int64))
+
+
 def test_simhash_identical_and_near(spark):
     df = _docs(spark, ["a b c d e f g h", "a b c d e f g h", "q r s t u v w x"])
-    sigs = {r.doc_id: r.sig for r in df.select("doc_id", dedup.simhash64("text").alias("sig")).collect()}
+    sigs = {r.id: r.sig for r in dedup.simhash_signatures(df).collect()}
     assert sigs[0] == sigs[1]
     assert sigs[0] != sigs[2]
     pairs = dedup.simhash_neardup_pairs(df, max_hamming=3).collect()
     assert {(p.id_a, p.id_b, p.hamming) for p in pairs} == {(0, 1, 0)}
+
+
+def test_simhash_catalyst_matches_reference_bit_for_bit(spark):
+    texts = ["hello world foo bar", "", "a", "Hello  WORLD   foo bar", "x y " * 40]
+    df = _docs(spark, texts)
+    got = {r.id: r.sig for r in dedup.simhash_signatures(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _simhash_reference(t), (i, t)
+
+
+def test_minhash_components_are_independent(spark):
+    """Regression for the round-1 seed bug: a 2-arg transform lambda binds
+    (element, index), collapsing every hash to the same function."""
+    df = _docs(spark, ["alpha beta gamma delta epsilon zeta eta theta"])
+    sig = df.select(dedup.minhash_signature(F.col("text"), 16, 1).alias("s")).collect()[0].s
+    assert len(set(sig)) > 8, sig  # 16 independent hashes, not 1 repeated
 
 
 def test_embedding_neardup_and_lsh(spark):
@@ -156,3 +190,39 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"x", "image/png")
+
+
+def test_max_bucket_caps_degenerate_buckets(spark):
+    """Synthetic hot bucket: N identical docs form one degenerate band
+    bucket; the cap bounds pair expansion (0 pairs from a dropped bucket)
+    while leaving normal buckets untouched."""
+    df = _docs(spark, ["same text here again"] * 30 + ["unique doc alpha beta gamma"])
+    uncapped = dedup.minhash_lsh_pairs(
+        df, num_hashes=16, bands=8, shingle_n=1, threshold=0.9, max_bucket=None
+    )
+    assert uncapped.count() == 30 * 29 // 2
+    capped = dedup.minhash_lsh_pairs(
+        df, num_hashes=16, bands=8, shingle_n=1, threshold=0.9, max_bucket=10
+    )
+    assert capped.count() == 0
+
+
+def test_embedding_lsh_capped_and_stats(spark):
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]  # one hot bucket
+    rows += [(100, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = dedup.embedding_neardup_pairs(
+        df, threshold=0.99, n_planes=2, n_tables=4, dim=4, max_bucket=None
+    )
+    assert full.count() == 20 * 19 // 2
+    capped = dedup.embedding_neardup_pairs(
+        df, threshold=0.99, n_planes=2, n_tables=4, dim=4, max_bucket=5
+    )
+    assert capped.count() == 0
+    # bucket_stats reports the hot bucket instead of capping silently
+    from pyspark.sql import functions as SF
+    keyed = df.select(F.col("vec_id").alias("id")).withColumn(
+        "b", SF.lit(0)
+    )
+    stats = dedup.bucket_stats(keyed, ["b"]).collect()
+    assert stats[0].bucket_size == 21 and stats[0].n_buckets == 1
