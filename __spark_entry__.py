@@ -379,7 +379,11 @@ def q_cosine_topk(spark, sf):
 
 
 def q_cosine_topk_lsh(spark, sf):
-    """similarity: LSH-bucketed ANN top-k (approximate; no oracle)."""
+    """similarity: LSH-bucketed ANN top-k. ORACLE-CHECKED as an
+    implementation-equivalence oracle: the DuckDB SQL replicates the
+    same algorithm (identical hyperplane literals, bucket packing,
+    hamming-1 multiprobe, rank) so bucket assignment and the resulting
+    approximate top-k must agree engine-to-engine."""
     from smh_to_jsonld_spark.operators import similarity
 
     e = _t(spark, sf, "embeddings")
@@ -431,7 +435,11 @@ def q_multimodal_features(spark, sf):
 
 def q_transcript_triples(spark, sf):
     """The transcript triple factory end-to-end on the deterministic
-    fixture corpus (non-SQL: Arrow extraction + linking + JSON-LD)."""
+    fixture corpus. ORACLE-CHECKED against a constant table of per-pred
+    DISTINCT triple counts derived from tests/fixtures/golden_triples.json
+    — which was produced by EXECUTING the reference implementation on the
+    same corpus (tools/gen_reference_fixture.py), so this pins the whole
+    extraction->linking->emit->flatten path to reference output."""
     from smh_to_jsonld_spark.plans.pipeline import kg_pipeline_from_transcripts
     from smh_to_jsonld_spark.sources import synth
 
@@ -442,12 +450,19 @@ def q_transcript_triples(spark, sf):
         synth.target_metadata_df(spark, spec),
         synth.diseases_df(spark, spec),
     )
-    return res["triples"].groupBy("pred").agg(F.count("*").alias("n_triples"))
+    return (
+        res["triples"]
+        .select("subj", "pred", "obj")
+        .distinct()
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_triples"))
+    )
 
 
 def q_connected_components(spark, sf):
     """canon: connected components over a bipartite order-part graph
-    (iterative self-join; no SQL oracle — fixpoint loop)."""
+    (iterative self-join fixpoint). ORACLE-CHECKED against a DuckDB
+    recursive-CTE reachability formulation of min-label components."""
     from smh_to_jsonld_spark.operators import canon
 
     li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 60)
@@ -497,6 +512,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_triples": q_transcript_triples,
         "connected_components": q_connected_components,
     }
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB replica of similarity.lsh_topk(n_planes=4, k=3, multiprobe):
+    identical hyperplane literals (same seed), identical bucket packing
+    (plane 0 = high bit), identical hamming-1 probe set — an
+    implementation-equivalence oracle for the approximate ANN path."""
+    from smh_to_jsonld_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 42)
+
+    def dot(vec_expr, plane):
+        lits = ", ".join(repr(float(w)) for w in plane)
+        return f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 THEN 1 ELSE 0 END)"
+
+    def bucket(vec_expr):
+        # _bucket_expr folds out = out*2 + bit, plane 0 first => high bit
+        terms = [f"{dot(vec_expr, p)} * {1 << (len(planes) - 1 - i)}" for i, p in enumerate(planes)]
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+        WITH c AS (
+          SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                 {bucket('embedding::DOUBLE[]')} AS bucket
+          FROM embeddings WHERE vec_id >= 5),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                 {bucket('embedding::DOUBLE[]')} AS b0
+          FROM embeddings WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, qv,
+                 unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+          FROM q),
+        scored AS (
+          SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+          FROM probes JOIN c USING (bucket))
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored QUALIFY rank <= 3
+    """
+
+
+def _golden_pred_counts_sql() -> str:
+    """Constant-table oracle: per-pred DISTINCT triple counts from the
+    reference-executed golden fixture (tests/fixtures/golden_triples.json).
+    P/R=1.0 set equality (tests/test_golden_pr.py) implies these counts."""
+    import json as _json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "fixtures", "golden_triples.json")
+    from collections import Counter
+
+    with open(path) as f:
+        counts = Counter(t[1] for t in _json.load(f))
+    vals = ", ".join(f"('{p}', {n})" for p, n in sorted(counts.items()))
+    return f"SELECT * FROM (VALUES {vals}) AS t(pred, n_triples)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -746,6 +818,24 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
             FROM q CROSS JOIN c
             QUALIFY rank <= 3
+        """,
+        "cosine_topk_lsh": _lsh_topk_oracle_sql(),
+        "transcript_triples": _golden_pred_counts_sql(),
+        # min-label connected components as a reachability recursive CTE:
+        # component(v) = min vertex id reachable from v (undirected).
+        "connected_components": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+                              'p' || CAST(l_partkey AS VARCHAR) AS b
+              FROM lineitem WHERE l_orderkey < 60),
+            ud AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            r AS (
+              SELECT v, v AS m FROM (SELECT a AS v FROM ud UNION SELECT b FROM ud)
+              UNION
+              SELECT ud.a AS v, r.m FROM ud JOIN r ON ud.b = r.v
+            ),
+            comp AS (SELECT v, min(m) AS component FROM r GROUP BY v)
+            SELECT component, count(*) AS size FROM comp GROUP BY component
         """,
         "kg_mentions": """
             SELECT term, count(*) AS n_mentions FROM (
