@@ -30,6 +30,13 @@ def main(argv=None):
         " for the deterministic generator, or 'spec' for the fixture corpus",
     )
     p.add_argument("--output", required=True, help="warehouse root for TableIO")
+    p.add_argument(
+        "--tasks-config",
+        default=None,
+        help="path to a hubverse tasks.json; builds the target/disease dims"
+        " via sources.config (REQUIRED for real transcript parquet inputs —"
+        " synthetic inputs default to the built-in fixture spec)",
+    )
     p.add_argument("--master", default=None, help="override master (default local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     args = p.parse_args(argv)
@@ -51,15 +58,33 @@ def main(argv=None):
         transcripts = synth.transcripts_at_scale(spark, n_conv, turns)
         lineage = args.transcripts
     else:
+        if args.tasks_config is None:
+            # real data + hard-coded synthetic dims silently mislabels
+            # every target/disease — refuse instead (advice r1)
+            p.error(
+                "--tasks-config is required when --transcripts is a real"
+                " parquet path (the built-in dims cover only the synthetic"
+                " fixture rounds)"
+            )
         transcripts = spark.read.parquet(args.transcripts)
         lineage = args.transcripts
+
+    if args.tasks_config:
+        from smh_to_jsonld_spark.sources import config as cfg
+
+        parsed = cfg.parse_tasks_config(args.tasks_config)
+        target_meta = cfg.target_metadata_df(spark, parsed)
+        diseases = cfg.diseases_df(spark, parsed)
+    else:
+        target_meta = synth.target_metadata_df(spark, spec)
+        diseases = synth.diseases_df(spark, spec)
 
     io = TableIO(args.output)
     manifest = run_resumable_kg_job(
         spark,
         transcripts,
-        synth.target_metadata_df(spark, spec),
-        synth.diseases_df(spark, spec),
+        target_meta,
+        diseases,
         io,
         lineage_note=lineage,
     )

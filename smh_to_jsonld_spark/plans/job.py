@@ -7,16 +7,23 @@ One Spark job builds triples for all NOT-YET-COMMITTED rounds:
 2. anti-join against the partitions already committed in the snapshot log
    (TableIO.completed_partitions) — the resume step;
 3. run the triple factory over just the remaining conversations;
-4. write node/edge/doc/triple tables partitioned by round_id (append), and
-   commit a snapshot manifest with per-partition (per-round) row counts,
-   per-predicate triple counts, and input lineage.
+4. write node/edge/doc/triple tables partitioned by round_id with DYNAMIC
+   PARTITION OVERWRITE, and commit snapshot manifests with per-partition
+   (per-round) row counts, per-predicate triple counts, and input lineage
+   — the triples manifest (the resume gate) is committed LAST.
 
-Restart-safety: a crash before the manifest commit leaves data files for
-an uncommitted round; the overwrite of that partition on retry
-(partitionOverwriteMode=dynamic on real clusters / idempotent re-append
-here) plus manifest-gated resume makes the job at-least-once with
-exactly-once commit visibility — same contract Iceberg gives via
-snapshots.
+Restart-safety: a crash anywhere before the final triples-manifest commit
+leaves the rounds uncommitted; the retry re-selects them and dynamic
+partition overwrite REPLACES whatever partial partitions the crashed run
+wrote (no duplicate appends, for every table). Manifest renames are
+atomic. Net: at-least-once execution, exactly-once commit visibility —
+the contract Iceberg gives via snapshot atomicity.
+
+Single-execution discipline: model_docs/consolidated are persisted before
+any action, triples data is written FIRST, and all metrics are derived
+from the MATERIALIZED triples table (a cheap parquet re-scan), so the
+post-extraction plan (linking -> emit -> flatten) executes exactly once —
+round 1 re-ran it per metric collect and per table write.
 """
 
 from __future__ import annotations
@@ -69,55 +76,80 @@ def run_resumable_kg_job(
     # keeps the big transcript scan shuffle-free
     subset = transcripts.join(F.broadcast(todo_convs), "conv_id", "left_semi")
 
+    from pyspark.storagelevel import StorageLevel
+
     result = kg_pipeline_from_transcripts(
         spark, subset, target_meta, diseases, include_entities=True
     )
+    lineage = {"input": lineage_note or "transcripts", "rounds": todo}
 
+    # docs/consolidated feed BOTH their own table writes and the triple
+    # flattener — persist so the emit plan materializes once (triples
+    # write) and the doc writes are cache scans.
+    docs = result["model_docs"].persist(StorageLevel.MEMORY_AND_DISK)
+    cons = result["consolidated"].persist(StorageLevel.MEMORY_AND_DISK)
     triples = result["triples"]  # carries round_id via flattener passthrough
-    # one pass for all metrics: per-round and per-predicate counts
+
+    # 1. triples DATA first (single execution of the whole plan) ...
+    io.write_data(triples, "triples", partition_by=["round_id"],
+                  mode="overwrite_partitions")
+    # ... 2. all metrics from the MATERIALIZED table (cheap re-scan, no
+    # recompute), restricted to this commit's rounds
+    # partition-dir values are type-inferred on read (2031-01-05 => date);
+    # normalize back to the string round ids the manifests use
+    written = (
+        io.read(spark, "triples")
+        .withColumn("round_id", F.col("round_id").cast("string"))
+        .filter(F.col("round_id").isin(todo))
+    )
     per_round = {
         r.round_id: r.n
-        for r in triples.groupBy("round_id").agg(F.count("*").alias("n")).collect()
+        for r in written.groupBy("round_id").agg(F.count("*").alias("n")).collect()
     }
     per_pred = {
         r.pred: r.n
-        for r in triples.groupBy("pred").agg(F.count("*").alias("n")).collect()
+        for r in written.groupBy("pred").agg(F.count("*").alias("n")).collect()
     }
 
+    # 3. secondary tables (persisted inputs — no pipeline re-execution)
     io.write(
-        result["model_docs"].withColumnRenamed("round_id", "round_id"),
+        docs,
         "model_docs",
         partition_by=["round_id"],
-        mode="append",
-        lineage={"input": lineage_note or "transcripts", "rounds": todo},
+        mode="overwrite_partitions",
+        lineage=lineage,
         metrics={"partitions": {r: per_round.get(r, 0) for r in todo}},
     )
     io.write(
-        result["consolidated"],
+        cons,
         "round_docs",
         partition_by=["round_id"],
-        mode="append",
-        lineage={"input": lineage_note or "transcripts", "rounds": todo},
+        mode="overwrite_partitions",
+        lineage=lineage,
         metrics={"partitions": {r: 1 for r in todo}},
     )
-    entities = result["entities"]
+    entities = result["entities"].persist(StorageLevel.MEMORY_AND_DISK)
     io.write(
         entities,
         "entities",
         mode="overwrite",  # global (cross-round) table, rebuilt per commit
-        lineage={"input": lineage_note or "transcripts", "rounds": todo},
+        lineage=lineage,
         metrics={"n_entities": entities.count()},
     )
-    manifest = io.write(
-        triples,
+
+    # 4. the gating manifest LAST: only now do the rounds count as done
+    manifest = io.commit(
         "triples",
+        mode="overwrite_partitions",
         partition_by=["round_id"],
-        mode="append",
-        lineage={"input": lineage_note or "transcripts", "rounds": todo},
+        lineage=lineage,
         metrics={
             "partitions": per_round,
             "triples_by_pred": per_pred,
             "wall_sec": round(time.perf_counter() - t0, 3),
         },
     )
+    docs.unpersist()
+    cons.unpersist()
+    entities.unpersist()
     return manifest

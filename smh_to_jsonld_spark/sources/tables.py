@@ -40,6 +40,37 @@ class TableIO:
         return self.root / table / "_snapshots"
 
     # -- io ---------------------------------------------------------------
+    def write_data(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list | None = None,
+        mode: str = "append",
+    ) -> None:
+        """Write table data WITHOUT committing a manifest (pair with
+        ``commit``). mode='overwrite_partitions' uses dynamic partition
+        overwrite (spark.sql.sources.partitionOverwriteMode=dynamic), so a
+        crashed-then-retried job REPLACES the partitions it re-writes
+        instead of appending duplicates — the crash-safety contract
+        Iceberg gives via snapshot atomicity."""
+        spark = df.sparkSession
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        if mode == "overwrite_partitions":
+            prev = spark.conf.get(conf_key, "static")
+            spark.conf.set(conf_key, "dynamic")
+            try:
+                writer = df.write.mode("overwrite")
+                if partition_by:
+                    writer = writer.partitionBy(*partition_by)
+                writer.parquet(self.table_path(table))
+            finally:
+                spark.conf.set(conf_key, prev)
+            return
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.table_path(table))
+
     def write(
         self,
         df: DataFrame,
@@ -49,13 +80,24 @@ class TableIO:
         lineage: dict | None = None,
         metrics: dict | None = None,
     ) -> dict:
-        """Write a table (append or overwrite) and commit a snapshot
-        manifest with lineage + metrics. Returns the manifest."""
-        writer = df.write.mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.table_path(table))
+        """Write a table and commit a snapshot manifest with lineage +
+        metrics. Returns the manifest."""
+        self.write_data(df, table, partition_by, mode)
+        return self.commit(table, mode, partition_by, lineage, metrics)
 
+    def commit(
+        self,
+        table: str,
+        mode: str = "append",
+        partition_by: list | None = None,
+        lineage: dict | None = None,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Commit a snapshot manifest for already-written data. The
+        manifest rename is atomic (os.replace), and resume reads ONLY
+        committed manifests — so 'data written, manifest missing' is the
+        recoverable at-least-once state, healed by the next run's dynamic
+        partition overwrite."""
         snap_dir = self._snap_dir(table)
         snap_dir.mkdir(parents=True, exist_ok=True)
         existing = sorted(snap_dir.glob("snap-*.json"))

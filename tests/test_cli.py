@@ -1,0 +1,41 @@
+"""CLI argument contract: real parquet inputs must carry a real tasks
+config (advice r1: silently joining real data against the synthetic
+fixture dims mislabels every target/disease)."""
+
+import json
+import sys
+
+import pytest
+
+from smh_to_jsonld_spark import cli
+from smh_to_jsonld_spark.sources import synth
+
+
+def test_real_parquet_requires_tasks_config(spark, spec, tmp_path, monkeypatch):
+    src = str(tmp_path / "real.parquet")
+    synth.transcripts_df(spark, spec).write.parquet(src)
+    with pytest.raises(SystemExit):
+        cli.main(["--transcripts", src, "--output", str(tmp_path / "out")])
+
+
+def test_real_parquet_with_tasks_config_runs(spark, spec, tmp_path):
+    sys.path.insert(0, "tools")
+    from gen_reference_fixture import tasks_json_for_round
+
+    src = str(tmp_path / "real.parquet")
+    synth.transcripts_df(spark, spec).write.parquet(src)
+    tasks = {
+        "schema_version": "https://example.org/v6.0.0/tasks-schema.json",
+        "rounds": [tasks_json_for_round(r, "6.0.0")["rounds"][0] for r in spec["rounds"]],
+    }
+    cfg_path = tmp_path / "tasks.json"
+    cfg_path.write_text(json.dumps(tasks))
+
+    rc = cli.main([
+        "--transcripts", src,
+        "--tasks-config", str(cfg_path),
+        "--output", str(tmp_path / "out2"),
+    ])
+    assert rc == 0
+    snaps = json.loads((tmp_path / "out2" / "triples" / "_snapshots" / "snap-000000.json").read_text())
+    assert snaps["metrics"]["partitions"].keys() == {"2031-01-05", "2031-02-02"}

@@ -115,3 +115,59 @@ def test_stateful_conversation_sessions(spark, spec, tmp_path):
     for cid, *_ in synth.transcripts_rows(spec):
         expected[cid] = expected.get(cid, 0) + 1
     assert got == expected
+
+
+def test_job_executes_post_extraction_plan_once(spark, spec, tmp_path, monkeypatch):
+    """Plan-count probe: every row that flows through the triples plan
+    bumps an accumulator; if any write/metric re-executed the plan the
+    count would be a multiple of the written rows."""
+    from smh_to_jsonld_spark.plans import job as job_mod
+
+    flowed = spark.sparkContext.accumulator(0)
+    orig = job_mod.kg_pipeline_from_transcripts
+
+    def probed(*a, **k):
+        res = orig(*a, **k)
+
+        def cnt(batches):
+            for pdf in batches:
+                flowed.add(len(pdf))
+                yield pdf
+
+        res["triples"] = res["triples"].mapInPandas(cnt, res["triples"].schema)
+        return res
+
+    monkeypatch.setattr(job_mod, "kg_pipeline_from_transcripts", probed)
+    io = TableIO(str(tmp_path / "wh_probe"))
+    tr = synth.transcripts_df(spark, spec)
+    m = run_resumable_kg_job(
+        spark, tr, synth.target_metadata_df(spark, spec),
+        synth.diseases_df(spark, spec), io,
+    )
+    written = sum(m["metrics"]["partitions"].values())
+    assert written > 1000
+    assert flowed.value == written, (flowed.value, written)
+
+
+def test_crashed_run_is_replaced_not_duplicated(spark, spec, tmp_path):
+    """Crash simulation: triples data written but NO manifest committed
+    (the state a mid-job crash leaves). The retry must resume the rounds
+    and REPLACE the orphan partitions via dynamic partition overwrite —
+    round 1 appended duplicates here."""
+    io = TableIO(str(tmp_path / "wh_crash"))
+    tr = synth.transcripts_df(spark, spec)
+    tm = synth.target_metadata_df(spark, spec)
+    dz = synth.diseases_df(spark, spec)
+
+    from smh_to_jsonld_spark.plans.pipeline import kg_pipeline_from_transcripts
+
+    res = kg_pipeline_from_transcripts(spark, tr, tm, dz)
+    io.write_data(res["triples"], "triples", partition_by=["round_id"],
+                  mode="overwrite_partitions")  # crash: no commit
+    orphan = io.read(spark, "triples").count()
+    assert io.completed_partitions("triples") == set()  # resume gate closed
+
+    m = run_resumable_kg_job(spark, tr, tm, dz, io)
+    assert m["metrics"]["partitions"].keys() == {"2031-01-05", "2031-02-02"}
+    total = io.read(spark, "triples").count()
+    assert total == orphan  # replaced, not orphan + new
