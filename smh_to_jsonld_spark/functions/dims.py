@@ -134,3 +134,40 @@ def alias_dim(spark):
             seen.add(alias)
             out.append((alias, canon, typ))
     return spark.createDataFrame(out, schema="alias string, canonical string, entity_type string")
+
+
+# ---------------------------------------------------------------------------
+# J3 — license -> URL map (jsonld_to_html.py:56-80): exact match on the
+# UPPER-cased license string; misses render the bare license name.
+# ---------------------------------------------------------------------------
+LICENSE_URLS = {
+    # Open Source / Software
+    "MIT": "https://opensource.org/license/mit/",
+    "GPL-3.0": "https://www.gnu.org/licenses/gpl-3.0.en.html",
+    "APACHE-2.0": "https://www.apache.org/licenses/LICENSE-2.0",
+    "BSD SIMPLIFIED": "https://opensource.org/license/bsd-2-clause",
+    # Creative Commons
+    "CC0-1.0": "https://creativecommons.org/publicdomain/zero/1.0/",
+    "CC-BY-4.0": "https://creativecommons.org/licenses/by/4.0/",
+    "CC-BY-NC-4.0": "https://creativecommons.org/licenses/by-nc/4.0/",
+    "CC BY-NC 4.0": "https://creativecommons.org/licenses/by-nc/4.0/",  # spacing variant
+    "CC-BY-SA-4.0": "https://creativecommons.org/licenses/by-sa/4.0/",
+    "CC-BY_SA-4.0": "https://creativecommons.org/licenses/by-sa/4.0/",  # legacy underscore
+    # Open Data Commons
+    "ODC-BY": "https://opendatacommons.org/licenses/by/",
+    "ODBL": "https://opendatacommons.org/licenses/odbl/",
+    "PDDL": "https://opendatacommons.org/licenses/pddl/",
+    # Government / Other
+    "OGL-3.0": "https://www.nationalarchives.gov.uk/doc/open-government-licence/version/3/",
+}
+
+
+def license_url(col):
+    """Column: license string -> URL via a map-literal lookup (NULL on
+    miss, so callers can coalesce to the bare name)."""
+    from itertools import chain
+
+    from pyspark.sql import functions as F
+
+    m = F.create_map(*[F.lit(x) for x in chain.from_iterable(LICENSE_URLS.items())])
+    return m[F.upper(col)]

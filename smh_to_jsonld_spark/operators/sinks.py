@@ -44,40 +44,187 @@ def write_jsonld_files(
             json.dump(json.loads(row.doc_json), f, indent=2)
 
 
-def render_round_html(consolidated_doc: dict) -> str:
-    """Minimal per-round HTML (title, disease, model roster, counts)."""
+def model_output_snippet_html(
+    spark, n: int, round_id: str, model: str, data_root: str = "data"
+) -> str:
+    """O3/S2: head(n) + '...' separator + tail(1) HTML snippet of a
+    model's output parquet (jsonld_to_html.py:15-37
+    get_first_n_rows_of_output). Reads BOTH .parquet and .gz.parquet
+    (the glob matches either suffix); missing dir/files -> "".
+
+    Bounded report input (one model's files), so head/tail actions are
+    cheap; at scale the per-model directory is already the partition.
+    """
+    model_dir = Path(data_root) / round_id / "model-output" / model
+    files = sorted(str(p) for p in model_dir.glob("*.parquet"))
+    if not files:
+        return ""
+    df = spark.read.parquet(*files)
+    if "model_id" in df.columns:
+        df = df.filter(F.col("model_id") == model)
+    cols = df.columns
+    head = df.limit(n + 1).collect()
+    if not head:
+        return ""
+    rows = [[r[c] for c in cols] for r in head[:n]]
+    if len(head) > n:  # more rows exist: separator + last row
+        rows.append(["..."] * len(cols))
+        rows.extend([[r[c] for c in cols] for r in df.tail(1)])
+    th = "".join(f"<th>{html.escape(str(c))}</th>" for c in cols)
+    trs = "".join(
+        "<tr>" + "".join(f"<td>{html.escape(str(v))}</td>" for v in row) + "</tr>"
+        for row in rows
+    )
+    return f"<table border=\"0\"><thead><tr>{th}</tr></thead><tbody>{trs}</tbody></table>"
+
+
+def load_geodata_mapping(path: str = "geodata/geodata.csv") -> dict:
+    """iso3166-2 code -> geonames URL (jsonld_to_html.py:384-398); empty
+    dict when the CSV is absent — the search-link fallback then kicks in."""
+    import csv
+
+    mapping = {}
+    p = Path(path)
+    if p.exists():
+        with open(p) as f:
+            for row in csv.DictReader(f):
+                mapping[row["iso3166_2"]] = row["geoname_url"]
+    return mapping
+
+
+def _location_link(loc: dict, geodata_map: dict) -> str:
+    """Geonames URL when mapped, geonames SEARCH link when only a code is
+    known, bare name otherwise (jsonld_to_html.py:384-405)."""
+    name = html.escape(loc.get("gn:name") or "Unknown")
+    code = loc.get("iso3166-2:code") or ""
+    if code and code in geodata_map:
+        return f'<a href="{html.escape(geodata_map[code])}" target="_blank">{name} ({html.escape(code)})</a>'
+    if code:
+        q = (loc.get("gn:name") or "Unknown").replace(" ", "+")
+        return (
+            f'<a href="https://www.geonames.org/search.html?q={html.escape(q)}"'
+            f' target="_blank">{name} ({html.escape(code)})</a>'
+        )
+    return name
+
+
+def render_round_html(
+    consolidated_doc: dict,
+    model_docs: dict | None = None,
+    geodata_map: dict | None = None,
+    snippet_fn=None,
+) -> str:
+    """Per-round HTML report (jsonld_to_html.py:555-661): roster index,
+    then a section per model with license LINK (J3 map, upper-cased exact
+    match, miss renders bare name), website, description, spatial
+    coverage with geonames URL/search fallback (J2), and the
+    head(n)+...+tail data snippet when a ``snippet_fn(model_name)`` is
+    given.
+
+    ``model_docs``: {model_name: parsed per-model doc} for the detail
+    sections; roster-only report when omitted.
+    """
+    from smh_to_jsonld_spark.functions.dims import LICENSE_URLS
+
+    geodata_map = geodata_map or {}
     title = html.escape(consolidated_doc.get("name", "Round"))
     hc = consolidated_doc.get("healthCondition") or {}
     if isinstance(hc, list):
         disease = ", ".join(html.escape(d.get("name") or "") for d in hc)
     else:
         disease = html.escape(hc.get("name") or "")
-    items = []
-    for part in sorted(
+    parts = sorted(
         consolidated_doc.get("hasPart", []), key=lambda p: (p.get("name") or "").lower()
-    ):
+    )
+    items = []
+    sections = []
+    for idx, part in enumerate(parts):
         nm = html.escape(part.get("name") or "?")
         ver = html.escape(str(part.get("version") or ""))
-        lic = html.escape(str(part.get("license") or ""))
-        items.append(f"<li><b>{nm}</b> v{ver} — license {lic}</li>")
+        lic_raw = str(part.get("license") or "N/A").upper()
+        lic = html.escape(lic_raw)
+        if lic_raw in LICENSE_URLS:
+            lic_html = f'<a href="{LICENSE_URLS[lic_raw]}" target="_blank">{lic}</a>'
+        else:
+            lic_html = lic
+        items.append(
+            f'<li><a href="#model-{idx}"><b>{nm}</b></a> v{ver} — license {lic_html}</li>'
+        )
+        doc = (model_docs or {}).get(part.get("name"))
+        if doc is None:
+            continue
+        sec = [f'<div class="model" id="model-{idx}"><h2>{nm}</h2>']
+        info = [f"<strong>Version:</strong> {ver}",
+                f"<strong>License:</strong> {lic_html}"]
+        if doc.get("website"):
+            w = html.escape(doc["website"])
+            info.append(f'<strong>Website:</strong> <a href="{w}" target="_blank">{w}</a>')
+        sec.append(f"<p>{' '.join(info)}</p>")
+        if doc.get("description"):
+            sec.append(f"<p><strong>Description:</strong> {html.escape(doc['description'])}</p>")
+        we = doc.get("workExample") or {}
+        locs = we.get("spatialCoverage") or []
+        if locs:
+            loc_html = "<br>".join(_location_link(l, geodata_map) for l in locs)
+            sec.append(f"<p><strong>Spatial Coverage:</strong><br>{loc_html}</p>")
+        if snippet_fn is not None:
+            snippet = snippet_fn(part.get("name"))
+            if snippet:
+                sec.append(f"<h3>Projection Data Snippet</h3>{snippet}")
+        sec.append("</div>")
+        sections.append("".join(sec))
     return (
         "<!DOCTYPE html><html><head><meta charset='utf-8'>"
         f"<title>{title}</title></head><body>"
         f"<h1>{title}</h1>"
         f"<p>Disease: {disease}</p>"
         f"<p>Models: {consolidated_doc.get('numberOfItems', 0)}</p>"
-        f"<ul>{''.join(items)}</ul>"
+        f"<ul id='index'>{''.join(items)}</ul>"
+        f"{''.join(sections)}"
         "</body></html>"
     )
 
 
-def write_round_html(consolidated: DataFrame, out_dir: str) -> None:
+def write_round_html(
+    consolidated: DataFrame,
+    out_dir: str,
+    model_docs: DataFrame | None = None,
+    geodata_csv: str = "geodata/geodata.csv",
+    data_root: str | None = None,
+    snippet_rows: int = 3,
+) -> None:
     """Render every consolidated round doc to <out_dir>/round_<id>.html —
-    driver-side loop over the per-round docs (one per round; bounded)."""
+    driver-side loop over the per-round docs (one per round; bounded).
+
+    With ``model_docs`` the report gets full per-model detail sections;
+    with ``data_root`` each section embeds the head(n)+...+tail parquet
+    snippet (jsonld_to_html.py main flow)."""
     os.makedirs(out_dir, exist_ok=True)
+    geodata = load_geodata_mapping(geodata_csv)
+    per_round_models: dict = {}
+    if model_docs is not None:
+        for row in model_docs.select("round_id", "model_name", "doc_json").collect():
+            per_round_models.setdefault(row.round_id, {})[row.model_name] = json.loads(
+                row.doc_json
+            )
+    spark = consolidated.sparkSession
     for row in consolidated.select("round_id", "doc_json").collect():
+        snippet_fn = None
+        if data_root is not None:
+            rid = row.round_id
+
+            def snippet_fn(model, _rid=rid):
+                return model_output_snippet_html(spark, snippet_rows, _rid, model, data_root)
+
         with open(Path(out_dir) / f"round_{row.round_id}.html", "w") as f:
-            f.write(render_round_html(json.loads(row.doc_json)))
+            f.write(
+                render_round_html(
+                    json.loads(row.doc_json),
+                    model_docs=per_round_models.get(row.round_id),
+                    geodata_map=geodata,
+                    snippet_fn=snippet_fn,
+                )
+            )
 
 
 def roster_validation(model_docs: DataFrame, consolidated: DataFrame) -> dict:

@@ -4,6 +4,7 @@ import json
 from pathlib import Path
 
 import yaml
+from pyspark.sql import functions as F
 
 from smh_to_jsonld_spark.operators import sinks
 from smh_to_jsonld_spark.plans.pipeline import kg_pipeline_from_transcripts
@@ -85,3 +86,72 @@ def test_roster_validation(spark, spec):
     bad = sinks.roster_validation(broken, res["consolidated"])
     assert bad["2031-01-05"]["extra"] == ["team0-modelA"]
     assert bad["2031-01-05"]["missing"] == []
+
+
+def _write_model_parquet(spark, base_dir, round_id, model, filename):
+    import pandas as pd
+
+    model_dir = Path(base_dir) / round_id / "model-output" / model
+    model_dir.mkdir(parents=True, exist_ok=True)
+    pdf = pd.DataFrame(
+        {
+            "model_id": [model] * 4,
+            "target": ["inc hosp"] * 4,
+            "value": [1, 2, 3, 4],
+        }
+    )
+    pdf.to_parquet(model_dir / filename)
+
+
+def test_data_snippet_head_sep_tail(spark, tmp_path):
+    """Mirrors reference tests/test_jsonld_to_html_unit.py:29-58: plain
+    parquet, the gz.parquet variant, and the missing-file empty case."""
+    rid, model = "2025-07-27", "Ensemble"
+    _write_model_parquet(spark, tmp_path, rid, model, f"{rid}-{model}.parquet")
+    out = sinks.model_output_snippet_html(spark, 3, rid, model, str(tmp_path))
+    assert "<table" in out
+    assert "inc hosp" in out
+    assert ">4<" in out  # tail row survives
+    assert "..." in out  # separator row present
+
+    gz_model = "JHU_UNC-flepiMoP"
+    _write_model_parquet(spark, tmp_path, rid, gz_model, f"{rid}-{gz_model}.gz.parquet")
+    out_gz = sinks.model_output_snippet_html(spark, 3, rid, gz_model, str(tmp_path))
+    assert "<table" in out_gz and "inc hosp" in out_gz and ">4<" in out_gz
+
+    assert sinks.model_output_snippet_html(spark, 3, rid, "MissingModel", str(tmp_path)) == ""
+
+
+def test_license_links_and_geonames_fallback(spark, spec, tmp_path):
+    """J3: license map exact upper-case match; J2: geonames URL when the
+    CSV maps the code, search fallback otherwise."""
+    from smh_to_jsonld_spark.functions.dims import LICENSE_URLS
+
+    res = _run(spark, spec)
+    geodata_csv = tmp_path / "geodata.csv"
+    geodata_csv.write_text(
+        "iso3166_2,geoname_url\nUS-CA,https://www.geonames.org/5332921/\n"
+    )
+    html_dir = tmp_path / "html_full"
+    sinks.write_round_html(
+        res["consolidated"], str(html_dir),
+        model_docs=res["model_docs"], geodata_csv=str(geodata_csv),
+    )
+    content = (html_dir / "round_2031-01-05.html").read_text()
+    # license rendered as a link for mapped licenses
+    assert LICENSE_URLS["CC-BY-4.0"] in content
+    # mapped code -> direct geonames URL; unmapped -> search fallback
+    assert "https://www.geonames.org/5332921/" in content
+    assert "geonames.org/search.html?q=" in content
+
+
+def test_license_url_column(spark):
+    from smh_to_jsonld_spark.functions import dims
+
+    df = spark.createDataFrame(
+        [("cc-by-4.0",), ("MIT",), ("weird-custom",)], "license string"
+    )
+    got = [r.u for r in df.select(dims.license_url(F.col("license")).alias("u")).collect()]
+    assert got[0] == "https://creativecommons.org/licenses/by/4.0/"
+    assert got[1] == "https://opensource.org/license/mit/"
+    assert got[2] is None
