@@ -138,3 +138,101 @@ class TableIO:
         for snap in self.snapshots(table):
             done.update(snap.get("metrics", {}).get(key, {}).keys())
         return done
+
+
+# ---------------------------------------------------------------------------
+# Iceberg backend — the production target (north_rule: "Iceberg transcript
+# tables at 10^12-turn scale"). The runtime jar is not fetchable in this
+# sandbox, so everything here is exercised by tests only when the jar is
+# present (tests/test_iceberg_backend.py skip marker); the code path itself
+# is complete: session conf, DDL with days(ts)+bucket(conv_id) partitioning,
+# and writeTo()-based commits.
+# ---------------------------------------------------------------------------
+
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
+
+
+def iceberg_session_conf(warehouse: str, catalog: str = "smhkg") -> dict:
+    """Spark conf for a Hadoop-catalog Iceberg deployment. Cluster usage:
+
+        spark-submit --packages {ICEBERG_PACKAGE} \\
+            --conf spark.sql.extensions=...IcebergSparkSessionExtensions \\
+            --py-files smh_to_jsonld_spark.zip -m smh_to_jsonld_spark.cli ...
+    """
+    return {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime jar is on the session classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def create_transcript_table(
+    spark: SparkSession, catalog: str = "smhkg", name: str = "kg.transcripts"
+) -> None:
+    """DDL for the authoritative input table (BASELINE.json input_hint),
+    partitioned by days(ts) for time pruning and bucket(conv_id) so one
+    conversation's turns co-locate — extraction then never shuffles raw
+    text, and the per-conversation window sort is partition-local."""
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {catalog}.{name} (
+            conv_id  STRING,
+            turn_idx INT,
+            role     STRING,
+            text     STRING,
+            tool     STRING,
+            ts       TIMESTAMP
+        ) USING iceberg
+        PARTITIONED BY (days(ts), bucket(64, conv_id))
+        """
+    )
+
+
+class IcebergTableIO(TableIO):
+    """TableIO over an Iceberg catalog: data commits ride Iceberg's own
+    snapshot atomicity (writeTo().overwritePartitions()), while the JSON
+    manifest layer stays as the engine's lineage/metrics + resume gate —
+    mirroring how the parquet backend pairs write_data with commit.
+    """
+
+    def __init__(self, root: str, catalog: str = "smhkg", namespace: str = "kg"):
+        super().__init__(root, fmt="iceberg")
+        self.catalog = catalog
+        self.namespace = namespace
+
+    def _ident(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def write_data(self, df, table, partition_by=None, mode="append"):
+        spark = df.sparkSession
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}")
+        ident = self._ident(table)
+        writer = df.writeTo(ident)
+        exists = spark.catalog.tableExists(ident)
+        if not exists:
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.create()
+        elif mode == "overwrite_partitions":
+            writer.overwritePartitions()
+        elif mode == "overwrite":
+            writer.replace()
+        else:
+            writer.append()
+
+    def read(self, spark: SparkSession, table: str):
+        return spark.read.table(self._ident(table))
