@@ -357,10 +357,13 @@ def q_embedding_neardup_lsh(spark, sf):
     (p_bit=0.63), k=2 planes x L=16 tables miss a true pair with
     (1-0.63^2)^16 ~ 3e-4 — verified empirically to equal the exact set on
     this data (deterministic seeds => stable). Production defaults
-    (k=16, L=8) suit the usual 0.9 threshold; low threshold needs small k."""
+    (k=16, L=8) suit the usual 0.9 threshold; a 0.40 threshold makes the
+    similarity graph inherently dense (low-k LSH, quadratic-ish output),
+    so the query bounds its input — the unbounded scale path for
+    embeddings is cosine_topk."""
     from smh_to_jsonld_spark.operators import dedup
 
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
     return dedup.embedding_neardup_pairs(
         e, threshold=0.40, n_planes=2, n_tables=16, max_bucket=100_000
     )
@@ -756,7 +759,8 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40
+            WHERE a.vec_id < 2000 AND b.vec_id < 2000
+              AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40
         """,
         # MinHash LSH at 32/16 bands: candidate recall at J>=0.8 is
         # 1-(1-J^2)^16 > 1-1e-7; verification is exact, so output equals

@@ -36,10 +36,9 @@ HEADLINE = [
     "cosine_topk",
     "embedding_neardup_lsh",
     "multimodal_features",
-    "transcript_triples",
 ]
 
-KG_CONVERSATIONS = int(os.environ.get("SMHKG_BENCH_CONVS", "20000"))
+KG_CONVERSATIONS = int(os.environ.get("SMHKG_BENCH_CONVS", "50000"))
 KG_TURNS_PER_CONV = int(os.environ.get("SMHKG_BENCH_TURNS", "24"))
 
 
@@ -72,7 +71,10 @@ def main():
     # transcript KG throughput: synthesize -> extract -> link -> aggregate
     from pyspark.sql import functions as F
 
-    from smh_to_jsonld_spark.plans.pipeline import extract_and_link
+    from smh_to_jsonld_spark.plans.pipeline import (
+        extract_and_link,
+        kg_pipeline_from_transcripts,
+    )
     from smh_to_jsonld_spark.sources import synth
 
     n_turns = KG_CONVERSATIONS * KG_TURNS_PER_CONV
@@ -80,6 +82,22 @@ def main():
         spark, KG_CONVERSATIONS, KG_TURNS_PER_CONV, partitions=cpus * 2
     ).persist()
     tr.count()  # materialize input outside the timed section
+
+    # FULL triple factory (extraction -> linking -> ordered aggregation ->
+    # JSON-LD emit -> consolidation -> triple flatten) at >=1M turns —
+    # round 1 benched this on the tiny fixture corpus where fixed overhead
+    # drowned the signal (verdict r1 item 8).
+    spec = synth.corpus_spec()
+    t0 = time.perf_counter()
+    res = kg_pipeline_from_transcripts(
+        spark, tr, synth.target_metadata_df(spark, spec), synth.diseases_df(spark, spec)
+    )
+    _materialize(res["triples"])
+    tt_dt = time.perf_counter() - t0
+    res["mentions"].unpersist()
+    res["model_docs"].unpersist()
+    timings["transcript_triples"] = round(tt_dt, 3)
+    total += tt_dt
 
     t0 = time.perf_counter()
     core = extract_and_link(spark, tr)
@@ -109,6 +127,7 @@ def main():
         "cpus": cpus,
         "kg_turns": n_turns,
         "kg_turns_per_sec": round(n_turns / kg_dt, 1),
+        "triple_factory_turns_per_sec": round(n_turns / tt_dt, 1),
     }
     print(json.dumps(result))
 

@@ -252,9 +252,23 @@ def metadata_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFram
         )
     )
 
-    return (
+    # one metadata row per (round, model) — first conversation wins (A7),
+    # deterministically by conv_id. Without this, a corpus with many
+    # conversations per model (the at-scale shape) emits one DUPLICATE
+    # model doc per conversation: hasPart explodes and the consolidated
+    # doc goes quadratic. The fixture corpus (1 conv per model) never
+    # exposed it.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("round_id", "model_name").orderBy("conv_id")
+    per_conv = (
         conv_dim.join(kv_wide, "conv_id", "left")
         .join(contribs, "conv_id", "left")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        per_conv
         .select(
             "round_id",
             "model_name",

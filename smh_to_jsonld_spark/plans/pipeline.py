@@ -48,6 +48,12 @@ def hub_pipeline_from_frames(
     docs = emit.model_docs(
         spark, metadata, field_values, target_meta, file_hist, dialect=dialect
     )
+    # docs feeds three consumers (model_docs result, consolidated, the
+    # all_docs union) — persist so the extraction->agg->emit chain
+    # materializes once. Lazy: costs nothing unless the plan executes.
+    from pyspark.storagelevel import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     consolidated = emit.consolidated_round_docs(
         docs.select("round_id", "model_name", "doc_json"), diseases, dialect=dialect
     )
