@@ -39,7 +39,26 @@ def main(argv=None):
     )
     p.add_argument("--master", default=None, help="override master (default local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--clean",
+        nargs="*",
+        metavar="ROUND_ID",
+        default=None,
+        help="instead of running: clean exported round files/dirs under"
+        " --output (all rounds, or just the listed ones); with --dry-run"
+        " only reports (reference pipeline/clean_output.py)",
+    )
+    p.add_argument("--dry-run", action="store_true")
     args = p.parse_args(argv)
+
+    if args.clean is not None:
+        from smh_to_jsonld_spark.operators.sinks import clean_output
+
+        plan = clean_output(
+            args.output, rounds=args.clean or None, dry_run=args.dry_run
+        )
+        print(json.dumps(plan, indent=1))
+        return 0 if not plan["errors"] else 1
 
     from smh_to_jsonld_spark.plans.job import run_resumable_kg_job
     from smh_to_jsonld_spark.session import get_spark

@@ -187,10 +187,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = df.select(
+    # flat signature computation (same shape as simhash_signatures):
+    # explode shingles once, k min-aggregates with map-side combine —
+    # whole-stage codegen instead of k interpreted HOF passes per row
+    ex = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("__t"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    sig = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("g", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
     )
     band_rows = sig.select(
         "id",
@@ -200,7 +205,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            *[F.element_at("sig", bi * rows + ri + 1) for ri in range(rows)]
+                            *[F.col(f"_h{bi * rows + ri}") for ri in range(rows)]
                         ).alias("bh"),
                     )
                     for bi in range(bands)

@@ -259,3 +259,49 @@ def roster_validation(model_docs: DataFrame, consolidated: DataFrame) -> dict:
     for r in extra:
         out.setdefault(r.round_id, {"missing": [], "extra": []})["extra"] = list(r.names)
     return out
+
+
+def clean_output(
+    output_dir: str = "output", rounds: list | None = None, dry_run: bool = False
+) -> dict:
+    """Selective output-lifecycle clean (reference
+    pipeline/clean_output.py:25-100): removes consolidated round files
+    (round_<ID>*.jsonld / *.html) and per-round YYYY-MM-DD subdirectories,
+    restricted to ``rounds`` when given; ``dry_run`` only reports.
+
+    Returns {"deleted": [...], "would_delete": [...], "errors": [...]}.
+    Unlike the reference (print + bool) this returns the plan so callers
+    (CLI, tests) can assert it; deletion stays driver-side — it's output
+    lifecycle, not data processing.
+    """
+    import re
+    import shutil
+
+    out = {"deleted": [], "would_delete": [], "errors": []}
+    root = Path(output_dir)
+    if not root.exists():
+        return out
+
+    def _matches(name: str) -> bool:
+        return rounds is None or any(r in name for r in rounds)
+
+    targets: list[Path] = []
+    for pattern in ("round_*.jsonld", "round_*.html"):
+        targets.extend(f for f in sorted(root.glob(pattern)) if _matches(f.name))
+    for d in sorted(root.iterdir()):
+        if d.is_dir() and re.match(r"\d{4}-\d{2}-\d{2}", d.name) and _matches(d.name):
+            targets.append(d)
+
+    for t in targets:
+        if dry_run:
+            out["would_delete"].append(str(t))
+            continue
+        try:
+            if t.is_dir():
+                shutil.rmtree(t)
+            else:
+                t.unlink()
+            out["deleted"].append(str(t))
+        except OSError as exc:
+            out["errors"].append(f"{t}: {exc}")
+    return out

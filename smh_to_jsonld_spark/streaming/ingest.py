@@ -126,3 +126,15 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def mention_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Incremental front end of the triple factory: the SAME Arrow-batched
+    extraction (operators.extract.extract_mentions) applied to a
+    watermark-deduplicated turn stream. Landing these mention rows in the
+    bronze layout means the batch job's extraction cost is already paid
+    when a round closes — it resumes from materialized mentions instead of
+    raw text."""
+    from smh_to_jsonld_spark.operators.extract import extract_mentions
+
+    return extract_mentions(dedup_stream(stream, watermark))

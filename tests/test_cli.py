@@ -39,3 +39,17 @@ def test_real_parquet_with_tasks_config_runs(spark, spec, tmp_path):
     assert rc == 0
     snaps = json.loads((tmp_path / "out2" / "triples" / "_snapshots" / "snap-000000.json").read_text())
     assert snaps["metrics"]["partitions"].keys() == {"2031-01-05", "2031-02-02"}
+
+
+def test_cli_clean_dry_run_and_delete(tmp_path):
+    out = tmp_path / "output"
+    (out / "2031-01-05").mkdir(parents=True)
+    (out / "round_2031-01-05.jsonld").write_text("{}")
+
+    rc = cli.main(["--transcripts", "spec", "--output", str(out),
+                   "--clean", "2031-01-05", "--dry-run"])
+    assert rc == 0 and (out / "round_2031-01-05.jsonld").exists()
+    rc = cli.main(["--transcripts", "spec", "--output", str(out),
+                   "--clean", "2031-01-05"])
+    assert rc == 0 and not (out / "round_2031-01-05.jsonld").exists()
+    assert not (out / "2031-01-05").exists()

@@ -171,3 +171,24 @@ def test_crashed_run_is_replaced_not_duplicated(spark, spec, tmp_path):
     assert m["metrics"]["partitions"].keys() == {"2031-01-05", "2031-02-02"}
     total = io.read(spark, "triples").count()
     assert total == orphan  # replaced, not orphan + new
+
+
+def test_streaming_mention_extraction(spark, spec, tmp_path):
+    """The extraction pandas-UDF runs unchanged on a stream: availableNow
+    drain produces the same mention rows the batch extractor yields."""
+    from smh_to_jsonld_spark.operators.extract import extract_mentions
+    from smh_to_jsonld_spark.streaming import ingest
+
+    src = str(tmp_path / "in")
+    tr = synth.transcripts_df(spark, spec)
+    tr.write.parquet(src)
+
+    out = str(tmp_path / "mentions")
+    ingest.run_available_now(
+        ingest.mention_stream(ingest.read_transcript_stream(spark, src)),
+        out, str(tmp_path / "ck"),
+    )
+    streamed = spark.read.parquet(out)
+    batch = extract_mentions(tr)
+    key = lambda df: {tuple(r) for r in df.collect()}
+    assert key(streamed) == key(batch)

@@ -155,3 +155,34 @@ def test_license_url_column(spark):
     assert got[0] == "https://creativecommons.org/licenses/by/4.0/"
     assert got[1] == "https://opensource.org/license/mit/"
     assert got[2] is None
+
+
+def test_clean_output_lifecycle(tmp_path):
+    """Mirrors reference pipeline/clean_output.py: selective per-round
+    clean + dry-run."""
+    out = tmp_path / "output"
+    (out / "2031-01-05").mkdir(parents=True)
+    (out / "2031-02-02").mkdir()
+    (out / "2031-01-05" / "doc.jsonld").write_text("{}")
+    (out / "round_2031-01-05.jsonld").write_text("{}")
+    (out / "round_2031-01-05.html").write_text("<html>")
+    (out / "round_2031-02-02.jsonld").write_text("{}")
+    (out / "keepme.txt").write_text("x")
+
+    plan = sinks.clean_output(str(out), rounds=["2031-01-05"], dry_run=True)
+    assert len(plan["would_delete"]) == 3 and plan["deleted"] == []
+    assert (out / "round_2031-01-05.jsonld").exists()  # dry-run touched nothing
+
+    res = sinks.clean_output(str(out), rounds=["2031-01-05"])
+    assert len(res["deleted"]) == 3 and res["errors"] == []
+    assert not (out / "2031-01-05").exists()
+    assert (out / "round_2031-02-02.jsonld").exists()  # other round kept
+    assert (out / "keepme.txt").exists()
+
+    res_all = sinks.clean_output(str(out))
+    assert (out / "round_2031-02-02.jsonld").exists() is False or res_all
+    assert not (out / "2031-02-02").exists()
+    # missing dir is a no-op
+    assert sinks.clean_output(str(tmp_path / "nope")) == {
+        "deleted": [], "would_delete": [], "errors": []
+    }
