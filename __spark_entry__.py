@@ -8,9 +8,17 @@ Numeric discipline for hash-stable comparisons:
   double;
 - float outputs are rounded to 4 decimals or omitted (ranks/ids only);
 - every computed column is aliased identically on both sides.
-Non-SQL-expressible ops (MinHash LSH, SimHash, LSH ANN, the transcript
-triple factory, connected components) have no oracle entry => the driver
-records rows-only checks.
+Every query carries an oracle (zero rows-only checks). Ops with no
+natural SQL expression are pinned one of three ways:
+- implementation-equivalence oracles: the DuckDB SQL replicates the same
+  deterministic algorithm (SimHash via md5_number_upper, LSH ANN via
+  embedded hyperplane literals);
+- verified-output equivalence: LSH candidate generation tuned for recall
+  1.0 on this data + exact verification => output equals the exact-pair
+  SQL (MinHash J>=0.8, embedding LSH);
+- reference-derived constants: the triple factory's per-pred counts vs a
+  VALUES table generated from the reference-executed golden fixture;
+  connected components vs a recursive-CTE reachability oracle.
 """
 
 from __future__ import annotations
@@ -363,7 +371,7 @@ def q_embedding_neardup_lsh(spark, sf):
     embeddings is cosine_topk."""
     from smh_to_jsonld_spark.operators import dedup
 
-    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
     return dedup.embedding_neardup_pairs(
         e, threshold=0.40, n_planes=2, n_tables=16, max_bucket=100_000
     )
@@ -395,6 +403,17 @@ def q_cosine_topk_lsh(spark, sf):
     return similarity.lsh_topk(corpus, queries, k=3, n_planes=4).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+def q_ivf_assign(spark, sf):
+    """similarity: IVF coarse quantization (argmax-cosine centroid
+    assignment). ORACLE-CHECKED as implementation equivalence: the DuckDB
+    SQL embeds the same seeded centroid literals and picks the same
+    first-max index."""
+    from smh_to_jsonld_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    return similarity.ivf_assign(e).select("vec_id", "centroid")
 
 
 def q_kg_mentions(spark, sf):
@@ -508,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "ivf_assign": q_ivf_assign,
         "kg_mentions": q_kg_mentions,
         "events_daily": q_events_daily,
         "events_json_extract": q_events_json_extract,
@@ -555,6 +575,29 @@ def _lsh_topk_oracle_sql() -> str:
                row_number() OVER (
                  PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
         FROM scored QUALIFY rank <= 3
+    """
+
+
+def _ivf_assign_oracle_sql() -> str:
+    """DuckDB replica of similarity.ivf_assign: same seeded unit-norm
+    centroid literals, argmax dot product, first-max tie-break (Spark
+    array_position == DuckDB list_indexof, both 1-based first match)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(16, 64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    dots = ", ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "])"
+        for c in cents
+    )
+    return f"""
+        WITH s AS (SELECT vec_id, [{dots}] AS scores FROM embeddings)
+        SELECT vec_id,
+               (list_indexof(scores, list_max(scores)) - 1)::INT AS centroid
+        FROM s
     """
 
 
@@ -759,7 +802,7 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 2000 AND b.vec_id < 2000
+            WHERE a.vec_id < 1000 AND b.vec_id < 1000
               AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.40
         """,
         # MinHash LSH at 32/16 bands: candidate recall at J>=0.8 is
@@ -824,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 3
         """,
         "cosine_topk_lsh": _lsh_topk_oracle_sql(),
+        "ivf_assign": _ivf_assign_oracle_sql(),
         "transcript_triples": _golden_pred_counts_sql(),
         # min-label connected components as a reachability recursive CTE:
         # component(v) = min vertex id reachable from v (undirected).

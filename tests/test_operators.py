@@ -157,3 +157,23 @@ def test_alias_dim_covers_all_forms(spark):
     dim = alias_dim(spark)
     aliases = {r.alias for r in dim.collect()}
     assert {"california", "ca", "06", "united states", "us"} <= aliases
+
+
+def test_merge_field_values_ordered_mode(spark):
+    from smh_to_jsonld_spark.operators import aggregates
+
+    per_model = spark.createDataFrame(
+        [
+            ("r1", 2, ["z", "a"]),
+            ("r1", 1, ["b", "a"]),
+        ],
+        "round_id string, model_pos int, target array<string>",
+    )
+    # default: sorted union
+    got = aggregates.merge_field_values_global(per_model).collect()[0]
+    assert got.target == ["a", "b", "z"]
+    # ordered: model_pos order then first-appearance within
+    got_o = aggregates.merge_field_values_global(
+        per_model, model_order_col="model_pos"
+    ).collect()[0]
+    assert got_o.target == ["b", "a", "z"]
