@@ -43,7 +43,14 @@ def hub_pipeline_from_frames(
     ageGroups / temporal origin pick) replicate the reference's pandas
     first-appearance order instead of sorted order (SURVEY.md §7.4-5).
     """
-    field_values = aggregates.distinct_field_values(facts, order_col=fact_order_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # field_values feeds THREE subplans of model_docs (the fv join,
+    # _variable_measured, _spatial_coverage): persist or the per-model
+    # aggregation over the whole fact table runs three times.
+    field_values = aggregates.distinct_field_values(
+        facts, order_col=fact_order_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     file_hist = aggregates.file_type_histogram(files)
     docs = emit.model_docs(
         spark, metadata, field_values, target_meta, file_hist, dialect=dialect
@@ -51,8 +58,6 @@ def hub_pipeline_from_frames(
     # docs feeds three consumers (model_docs result, consolidated, the
     # all_docs union) — persist so the extraction->agg->emit chain
     # materializes once. Lazy: costs nothing unless the plan executes.
-    from pyspark.storagelevel import StorageLevel
-
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     consolidated = emit.consolidated_round_docs(
         docs.select("round_id", "model_name", "doc_json"), diseases, dialect=dialect
