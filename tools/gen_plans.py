@@ -107,6 +107,56 @@ def main():
     )
     core["mentions"].unpersist()
 
+    from pyspark.sql import functions as F
+
+    from smh_to_jsonld_spark.operators import aggregates, dedup
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    p = plan_of(dedup.simhash_signatures(d))
+    sections.append(
+        (
+            "SimHash signatures are pure JVM aggregation (`simhash_signatures`)",
+            "No Python stage anywhere: explode tokens -> md5-low64 -> 64 flat "
+            "bit-sum HashAggregates with map-side partial combine (the shuffle "
+            "moves 64 longs per doc, not tokens). Round 1 ran this as a "
+            "per-row pandas UDF loop.",
+            keep(p, ("HashAggregate", "Exchange", "Generate", "ArrowEvalPython",
+                     "MapInPandas", "BatchEvalPython")),
+        )
+    )
+
+    p = plan_of(
+        dedup.minhash_lsh_pairs(d.filter(F.col("doc_id") < 300), num_hashes=32,
+                                bands=16, shingle_n=1, threshold=0.8, max_bucket=500)
+    )
+    sections.append(
+        (
+            "MinHash LSH candidate generation (`minhash_lsh_pairs`)",
+            "Signatures are 32 flat min-aggregates over exploded shingles "
+            "(partial+final). Candidates come from the single-pass bucket-pair "
+            "expansion (one aggregation per band bucket, no self-join of the "
+            "signature table); verification joins shingle sets only for "
+            "candidate ids.",
+            keep(p, ("HashAggregate", "Exchange", "Generate", "Join")),
+        )
+    )
+
+    tr = synth.transcripts_df(spark, spec)
+    core2 = extract_and_link(spark, tr)
+    p = plan_of(aggregates.distinct_field_values(core2["facts"], order_col="turn_order"))
+    sections.append(
+        (
+            "First-appearance distinct lists (`distinct_field_values(order_col)`)",
+            "Two shuffles, both map-side combined: (1) groupBy(keys+fields) "
+            "min(turn_order) collapses repeated fact combos, (2) the per-field "
+            "ordered collect runs over DISTINCT combos only. This is the "
+            "fidelity mode that makes emitted docs list-order-identical to the "
+            "reference.",
+            keep(p, ("HashAggregate", "ObjectHashAggregate", "SortAggregate", "Exchange")),
+        )
+    )
+    core2["mentions"].unpersist()
+
     out = ["# PLANS.md — physical-plan evidence (generated by tools/gen_plans.py)\n"]
     out.append(
         "Excerpts from `.explain('formatted')` on the sf0.01 testdata; "
