@@ -388,12 +388,16 @@ def transcripts_df(spark: SparkSession, spec: dict) -> DataFrame:
 # Scale generator — pure Spark, no driver rows. Used by bench.
 # ---------------------------------------------------------------------------
 
+ROUND_IDS_AT_SCALE = ("2031-01-05", "2031-02-02")  # == corpus_spec rounds
+
+
 def transcripts_at_scale(
     spark: SparkSession,
     n_conversations: int = 10_000,
     turns_per_conv: int = 24,
     n_models: int = 64,
     partitions: int | None = None,
+    n_rounds: int = 1,
 ) -> DataFrame:
     """Deterministic synthetic transcripts generated distributively.
 
@@ -402,11 +406,21 @@ def transcripts_at_scale(
     Location mentions are Zipf-skewed toward 'US' (the head entity) to
     exercise salted aggregation, mirroring real hub data where the
     national series dominates.
+
+    ``n_rounds`` (<= len(ROUND_IDS_AT_SCALE)) spreads conversations over
+    multiple rounds, matching the fixture-spec round ids so the config
+    dims still join — exercises round fan-out + partitioned writes at
+    scale.
     """
+    assert 1 <= n_rounds <= len(ROUND_IDS_AT_SCALE)
     n = n_conversations * turns_per_conv
     df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
     conv = (F.col("id") / turns_per_conv).cast("long")
     turn = (F.col("id") % turns_per_conv).cast("int")
+    round_id = F.element_at(
+        F.array(*[F.lit(r) for r in ROUND_IDS_AT_SCALE[:n_rounds]]),
+        (F.pmod(conv, F.lit(n_rounds)) + 1).cast("int"),
+    )
     model_i = F.pmod(F.xxhash64(conv.cast("string"), F.lit("m")), F.lit(n_models))
     # skew: ~60% of location mentions hit the head entity 'US';
     # surface form cycles fips/name/abbr so linking has real work
@@ -444,7 +458,8 @@ def transcripts_at_scale(
         F.lit("; location="), loc,
         F.lit("; age_group="), ag,
         F.lit("; output_type="), ot,
-        F.lit("; scenario=A-2031-01-01; origin_date=2031-01-05; horizon="), h.cast("string"),
+        F.lit("; scenario=A-2031-01-01; origin_date="), round_id,
+        F.lit("; horizon="), h.cast("string"),
     )
     # chatter turns: ~40 words of deterministic filler prose (realistic
     # agent-transcript shape — most turns carry no extractable facts, but
@@ -470,7 +485,7 @@ def transcripts_at_scale(
         " ",
     )
     text = (
-        F.when(turn == 0, F.lit("Round 2031-01-05 submission session."))
+        F.when(turn == 0, F.concat(F.lit("Round "), round_id, F.lit(" submission session.")))
         .when(
             turn == 1,
             F.concat(

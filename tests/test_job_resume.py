@@ -192,3 +192,18 @@ def test_streaming_mention_extraction(spark, spec, tmp_path):
     batch = extract_mentions(tr)
     key = lambda df: {tuple(r) for r in df.collect()}
     assert key(streamed) == key(batch)
+
+
+def test_at_scale_generator_multi_round(spark, tmp_path):
+    """Round fan-out at scale: the spark.range generator spreads
+    conversations over the fixture-spec round ids, and the job commits
+    one partition per round."""
+    io = TableIO(str(tmp_path / "wh_mr"))
+    tr = synth.transcripts_at_scale(spark, 200, 24, n_rounds=2)
+    spec = synth.corpus_spec()
+    m = run_resumable_kg_job(
+        spark, tr, synth.target_metadata_df(spark, spec),
+        synth.diseases_df(spark, spec), io,
+    )
+    assert m["metrics"]["partitions"].keys() == {"2031-01-05", "2031-02-02"}
+    assert all(v > 0 for v in m["metrics"]["partitions"].values())
