@@ -481,6 +481,41 @@ def q_transcript_triples(spark, sf):
     )
 
 
+def q_graph_materialize(spark, sf):
+    """emit.materialize_graph: node/edge tables from a triple set (the KG
+    materialization step of the job). Input triples are SQL-expressible
+    (order/part containment + @type triples over lineitem), so the whole
+    node/edge derivation is oracle-checked."""
+    from smh_to_jsonld_spark.operators.emit import materialize_graph
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 200)
+    contain = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("subj"),
+        F.lit("hasPart").alias("pred"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("obj"),
+    ).distinct()
+    types = contain.select(
+        F.col("subj"), F.lit("@type").alias("pred"), F.lit("Order").alias("obj")
+    ).distinct().unionByName(
+        contain.select(
+            F.col("obj").alias("subj"), F.lit("@type").alias("pred"),
+            F.lit("Part").alias("obj"),
+        ).distinct()
+    )
+    nodes, edges = materialize_graph(contain.unionByName(types))
+    return (
+        nodes.select(
+            "iri", F.array_join(F.coalesce(F.col("types"), F.array()), ",").alias("types")
+        )
+        .join(
+            edges.groupBy(F.col("subj").alias("iri")).agg(F.count("*").alias("out_edges")),
+            "iri",
+            "left",
+        )
+        .withColumn("out_edges", F.coalesce("out_edges", F.lit(0)))
+    )
+
+
 def q_connected_components(spark, sf):
     """canon: connected components over a bipartite order-part graph
     (iterative self-join fixpoint). ORACLE-CHECKED against a DuckDB
@@ -534,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "transcript_triples": q_transcript_triples,
         "connected_components": q_connected_components,
+        "graph_materialize": q_graph_materialize,
     }
 
 
@@ -869,6 +905,20 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_lsh": _lsh_topk_oracle_sql(),
         "ivf_assign": _ivf_assign_oracle_sql(),
         "transcript_triples": _golden_pred_counts_sql(),
+        "graph_materialize": """
+            WITH contain AS (
+              SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS subj,
+                              'p' || CAST(l_partkey AS VARCHAR) AS obj
+              FROM lineitem WHERE l_orderkey < 200),
+            nodes AS (
+              SELECT DISTINCT subj AS iri, 'Order' AS types FROM contain
+              UNION
+              SELECT DISTINCT obj AS iri, 'Part' AS types FROM contain),
+            outdeg AS (SELECT subj AS iri, count(*) AS out_edges
+                       FROM contain GROUP BY subj)
+            SELECT n.iri, n.types, coalesce(o.out_edges, 0) AS out_edges
+            FROM nodes n LEFT JOIN outdeg o USING (iri)
+        """,
         # min-label connected components as a reachability recursive CTE:
         # component(v) = min vertex id reachable from v (undirected).
         "connected_components": """

@@ -380,7 +380,8 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.sort_array(F.collect_set("obj")).alias("types"))
     )
     nodes = subs.join(types, "iri", "left")
+    passthrough = [c for c in triples.columns if c not in ("subj", "pred", "obj")]
     edges = triples.join(
         subs.withColumnRenamed("iri", "obj"), "obj", "left_semi"
-    ).select("subj", "pred", "obj")
+    ).select("subj", "pred", "obj", *passthrough)
     return nodes, edges

@@ -137,6 +137,25 @@ def run_resumable_kg_job(
         metrics={"n_entities": entities.count()},
     )
 
+    # node/edge KG materialization (north_rule: "materializing node/edge
+    # Iceberg tables") — rebuilt from the FULL materialized triples table
+    # (all committed rounds, a parquet re-scan — no plan re-execution), so
+    # a resume commit leaves a complete graph, not just the new rounds'.
+    from smh_to_jsonld_spark.operators.emit import materialize_graph
+
+    all_triples = io.read(spark, "triples").withColumn(
+        "round_id", F.col("round_id").cast("string")
+    )
+    nodes, edges = materialize_graph(all_triples)
+    io.write(
+        nodes, "nodes", mode="overwrite",
+        lineage=lineage, metrics={"rounds": todo},
+    )
+    io.write(
+        edges, "edges", partition_by=["round_id"], mode="overwrite",
+        lineage=lineage, metrics={"partitions": {r: 1 for r in todo}},
+    )
+
     # 4. the gating manifest LAST: only now do the rounds count as done
     manifest = io.commit(
         "triples",

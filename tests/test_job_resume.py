@@ -207,3 +207,24 @@ def test_at_scale_generator_multi_round(spark, tmp_path):
     )
     assert m["metrics"]["partitions"].keys() == {"2031-01-05", "2031-02-02"}
     assert all(v > 0 for v in m["metrics"]["partitions"].values())
+
+
+def test_job_writes_node_edge_tables(spark, spec, tmp_path):
+    """north_rule: node/edge tables materialized per commit, rebuilt from
+    the full committed triple set (complete after a resume commit too)."""
+    io = TableIO(str(tmp_path / "wh_graph"))
+    tr = synth.transcripts_df(spark, spec)
+    run_resumable_kg_job(
+        spark, tr, synth.target_metadata_df(spark, spec),
+        synth.diseases_df(spark, spec), io,
+    )
+    nodes = io.read(spark, "nodes")
+    edges = io.read(spark, "edges")
+    assert nodes.count() > 0 and edges.count() > 0
+    assert set(nodes.columns) == {"iri", "types"}
+    assert {"subj", "pred", "obj"} <= set(edges.columns)
+    # every edge object is a node
+    dangling = edges.join(
+        nodes.select(F.col("iri").alias("obj")), "obj", "left_anti"
+    ).count()
+    assert dangling == 0
