@@ -83,3 +83,45 @@ def test_match_round_error_lists_candidates(tmp_path, spec):
     assert cfgmod.match_round(data, "2031-01-05")["round_id"] == "2031-01-05"
     with pytest.raises(ValueError, match="2031-01-05"):
         cfgmod.match_round(data, "1999-01-01")
+
+
+def test_v5_docs_canonical_identical_first_appearance(spark, spec):
+    """v5 counterpart of the v6 list-order fidelity test: all 10 model
+    docs are canonical-JSON-identical WITH list order. Round docs compare
+    with hasPart as an order-insensitive set because the v5 reference
+    consolidates in raw os.listdir order (utils/jsonld.py:208) — a
+    filesystem artifact, not a semantic rule (the engine uses the v6
+    model-name order instead, deterministically)."""
+    import pathlib
+
+    from smh_to_jsonld_spark.plans.pipeline import kg_pipeline_from_transcripts
+
+    res = kg_pipeline_from_transcripts(
+        spark,
+        synth.transcripts_df(spark, spec),
+        synth.target_metadata_df(spark, spec),
+        synth.diseases_df(spark, spec),
+        dialect="v5",
+    )
+    docs = {r.doc_id: json.loads(r.doc_json) for r in res["model_docs"].collect()}
+    rdocs = {r.doc_id: json.loads(r.doc_json) for r in res["consolidated"].collect()}
+
+    def canon(x):
+        return json.dumps(x, sort_keys=True)
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures" / "golden_docs_v5"
+    checked = 0
+    for p in sorted(fixtures.glob("doc_2*__*.json")):
+        rid, mdl = p.stem.replace("doc_", "", 1).split("__")
+        assert canon(docs[f"doc:{rid}/{mdl}"]) == canon(json.loads(p.read_text())), p.stem
+        checked += 1
+    for p in sorted(fixtures.glob("doc_round_*.json")):
+        rid = p.stem.replace("doc_round_", "")
+        gold = json.loads(p.read_text())
+        ours = rdocs[f"doc:round_{rid}"]
+        gold_parts = sorted(canon(m) for m in gold.pop("hasPart"))
+        our_parts = sorted(canon(m) for m in ours.pop("hasPart"))
+        assert our_parts == gold_parts, rid
+        assert canon(ours) == canon(gold), rid
+        checked += 1
+    assert checked == 12

@@ -263,8 +263,14 @@ def main() -> None:
     with open(FIXTURES / "golden_triples.json", "w") as f:
         json.dump(uniq, f, indent=0)
 
+    (FIXTURES / "golden_docs_v5").mkdir(exist_ok=True)
     triples_v5 = []
     for doc_id, doc in sorted(docs_v5.items()):
+        with open(
+            FIXTURES / "golden_docs_v5"
+            / (doc_id.replace(":", "_").replace("/", "__") + ".json"), "w"
+        ) as f:
+            json.dump(doc, f, indent=1, sort_keys=False)
         triples_v5.extend(flatten_doc(doc, doc_id))
     uniq_v5 = sorted(set(triples_v5))
     with open(FIXTURES / "golden_triples_v5.json", "w") as f:
