@@ -481,6 +481,23 @@ def q_transcript_triples(spark, sf):
     )
 
 
+def q_salted_agg(spark, sf):
+    """link.salted_count / salted_collect_set: the skew-defusing two-phase
+    aggregations (north_rule 'salted repartitioning to defuse head-entity
+    skew'). ORACLE-CHECKED: the salted plan must equal the plain GROUP BY
+    — lineitem's l_returnflag is the skewed key here."""
+    from smh_to_jsonld_spark.operators import link
+
+    li = _t(spark, sf, "lineitem")
+    counts = link.salted_count(li, ["l_returnflag"], salt_buckets=16)
+    sets = link.salted_collect_set(li, ["l_returnflag"], "l_linestatus", salt_buckets=16)
+    return counts.join(sets, "l_returnflag").select(
+        "l_returnflag",
+        F.col("count").alias("n_rows"),
+        F.array_join("l_linestatus_set", ",").alias("statuses"),
+    )
+
+
 def q_graph_materialize(spark, sf):
     """emit.materialize_graph: node/edge tables from a triple set (the KG
     materialization step of the job). Input triples are SQL-expressible
@@ -570,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_triples": q_transcript_triples,
         "connected_components": q_connected_components,
         "graph_materialize": q_graph_materialize,
+        "salted_agg": q_salted_agg,
     }
 
 
@@ -905,6 +923,11 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_lsh": _lsh_topk_oracle_sql(),
         "ivf_assign": _ivf_assign_oracle_sql(),
         "transcript_triples": _golden_pred_counts_sql(),
+        "salted_agg": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "graph_materialize": """
             WITH contain AS (
               SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS subj,
