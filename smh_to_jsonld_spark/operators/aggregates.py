@@ -76,9 +76,29 @@ def distinct_field_values(
     combos = facts.groupBy(*[F.col(k) for k in list(keys) + fields]).agg(
         F.min(order_col).alias("__o")
     )
-    aggs = [_ordered_distinct("__o", c).alias(c) for c in fields]
-    aggs.append(F.max("horizon").alias("max_horizon"))  # A3
-    out = combos.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    # ONE collect_list + ONE sort shared by every field (collecting seven
+    # separate struct lists made the object agg ~7x more expensive); each
+    # field is then a cheap transform + first-wins array_distinct over the
+    # already-ordered array, with NULLs dropped after distinct.
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("__o").alias("o"), *[F.col(c).alias(c) for c in fields])
+        )
+    )
+    out = combos.groupBy(*[F.col(k) for k in keys]).agg(
+        pairs.alias("__pairs"), F.max("horizon").alias("max_horizon")  # A3
+    )
+    def _field_arr(name: str):
+        # closure helper, NOT a default-arg lambda: a 2-param transform
+        # lambda would bind (element, INDEX) and shadow the default
+        return F.filter(
+            F.array_distinct(F.transform(F.col("__pairs"), lambda s: s[name])),
+            lambda x: x.isNotNull(),
+        )
+
+    for c in fields:
+        out = out.withColumn(c, _field_arr(c))
+    out = out.drop("__pairs")
     # reference last-origin-date-wins (utils/temporal.py): the last
     # distinct origin_date in first-appearance order, NOT max().
     return out.withColumn("origin_date_max", F.element_at("origin_date", -1))
