@@ -138,38 +138,29 @@ def kg_pipeline_from_transcripts(
     return result
 
 
-def entity_graph(spark: SparkSession, spotted: DataFrame) -> DataFrame:
-    """Free-text entity mentions (extract.spot_mentions output) ->
-    canonical entity table.
+def link_surface_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """(surface, count) -> (surface, canonical, count): exact + fuzzy alias
+    resolution over the distinct surface vocabulary (link.link_locations).
+    Linking is per-surface deterministic (fixed dictionary, total-order
+    tie-break), so results are memoizable across commits."""
+    from smh_to_jsonld_spark.operators import link
 
-    1. salted mention counts per surface form (head entities like 'US'
-       dominate — the skew path, link.salted_count);
-    2. exact + fuzzy alias resolution over the DISTINCT surface vocabulary;
-    3. same-as edges (surface <-> canonical) -> connected components
-       (checkpointed fixpoint) -> member-set-hash IRIs (canon module).
-
-    Returns (iri, canonical, surfaces array, n_mentions).
-    """
-    from smh_to_jsonld_spark.operators import canon, link
-
-    ents = spotted.filter(F.col("kind") == "entity").select(
-        link.normalize_surface(F.col("term")).alias("surface")
-    )
-    counts = link.salted_count(ents, ["surface"], salt_buckets=16)
-
-    linked = link.link_locations(
+    return link.link_locations(
         counts.withColumnRenamed("surface", "location_surface"), spark
     ).select(
         F.col("location_surface").alias("surface"),
         F.col("location").alias("canonical"),
         "count",
     )
-    edges = canon.sameas_edges_from_linking(linked, "surface", "canonical")
-    cc = canon.connected_components(edges)
-    iris = canon.mint_component_iris(cc)
 
+
+def entity_rollup(linked: DataFrame, iris: DataFrame) -> DataFrame:
+    """(surface, canonical, count) x (vertex, iri) -> the canonical entity
+    table (iri, canonical, surfaces array, n_mentions). Unlinked canonicals
+    (surface form == canonical, no same-as edge) fall back to a
+    content-hash IRI — the reference's miss-still-emits contract."""
     with_iri = linked.join(
-        iris.select(F.col("vertex").alias("canonical"), "iri", "component"),
+        iris.select(F.col("vertex").alias("canonical"), "iri"),
         "canonical",
         "left",
     ).withColumn(
@@ -181,6 +172,34 @@ def entity_graph(spark: SparkSession, spotted: DataFrame) -> DataFrame:
         F.sort_array(F.collect_set("surface")).alias("surfaces"),
         F.sum("count").alias("n_mentions"),
     )
+
+
+def entity_graph(spark: SparkSession, spotted: DataFrame) -> DataFrame:
+    """Free-text entity mentions (extract.spot_mentions output) ->
+    canonical entity table.
+
+    1. salted mention counts per surface form (head entities like 'US'
+       dominate — the skew path, link.salted_count);
+    2. exact + fuzzy alias resolution over the DISTINCT surface vocabulary;
+    3. same-as edges (surface <-> canonical) -> connected components
+       (checkpointed fixpoint) -> member-set-hash IRIs (canon module).
+
+    Returns (iri, canonical, surfaces array, n_mentions). The resumable
+    job uses the incremental variant (plans.job.rebuild_entities) which
+    memoizes linking + components so only NEW surface forms pay the CC
+    fixpoint per commit.
+    """
+    from smh_to_jsonld_spark.operators import canon, link
+
+    ents = spotted.filter(F.col("kind") == "entity").select(
+        link.normalize_surface(F.col("term")).alias("surface")
+    )
+    counts = link.salted_count(ents, ["surface"], salt_buckets=16)
+    linked = link_surface_counts(spark, counts)
+    edges = canon.sameas_edges_from_linking(linked, "surface", "canonical")
+    cc = canon.connected_components(edges)
+    iris = canon.mint_component_iris(cc)
+    return entity_rollup(linked, iris)
 
 
 def turn_order_check(transcripts: DataFrame) -> int:

@@ -120,6 +120,14 @@ class TableIO:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.table_path(table))
 
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        """True when the table has committed data files (not just an empty
+        dir or orphan snapshot metadata)."""
+        p = Path(self.table_path(table))
+        if not p.exists():
+            return False
+        return any(p.rglob("*.parquet"))
+
     # -- snapshot history ---------------------------------------------------
     def snapshots(self, table: str) -> list:
         snap_dir = self._snap_dir(table)
@@ -236,3 +244,6 @@ class IcebergTableIO(TableIO):
 
     def read(self, spark: SparkSession, table: str):
         return spark.read.table(self._ident(table))
+
+    def exists(self, spark: SparkSession, table: str) -> bool:
+        return spark.catalog.tableExists(self._ident(table))

@@ -38,14 +38,32 @@ def test_resumable_job_and_snapshots(spark, spec, tmp_path):
     io2 = TableIO(str(tmp_path / "warehouse2"))
     r1_convs = [f"conv-2031-01-05-{m['model_name']}" for m in spec["rounds"][0]["models"]]
     tr_r1 = tr.filter(F.col("conv_id").isin(r1_convs))
-    run_resumable_kg_job(spark, tr_r1, tm, dz, io2)
+    mA = run_resumable_kg_job(spark, tr_r1, tm, dz, io2)
     assert io2.completed_partitions("triples") == {"2031-01-05"}
+    round_a_entities = {r.iri for r in io2.read(spark, "entities").collect()}
+    assert round_a_entities
     m3 = run_resumable_kg_job(spark, tr, tm, dz, io2)
     assert list(m3["metrics"]["partitions"].keys()) == ["2031-02-02"]
 
     # committed data matches the one-shot run
     total_triples = io2.read(spark, "triples").count()
     assert total_triples == sum(m1["metrics"]["partitions"].values())
+
+    # entities: round-A rows survive the round-B resume commit (the r2
+    # data-loss bug overwrote the global table with round-B-only entities)
+    key = lambda df: {
+        (r.iri, r.canonical, tuple(r.surfaces), r.n_mentions) for r in df.collect()
+    }
+    resumed = key(io2.read(spark, "entities"))
+    assert round_a_entities <= {e[0] for e in resumed}
+    # ... and the resumed table is row-identical to the one-shot build
+    assert resumed == key(io.read(spark, "entities"))
+    # incremental maintenance: the resume commit's CC fixpoint ran only on
+    # edges of surface forms never seen before, not the full vocabulary
+    sA, sB = mA["metrics"]["entities"], m3["metrics"]["entities"]
+    assert sB["new_surfaces"] < sA["n_surfaces"]
+    assert sB["cc_pending_edges"] <= sB["new_surfaces"]
+    assert sB["cc_fixpoint_edges"] <= sB["cc_pending_edges"]
 
 
 def test_tableio_snapshot_log(spark, tmp_path):
