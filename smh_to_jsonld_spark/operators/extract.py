@@ -2,11 +2,14 @@
 
 Generalization of the reference's "extract metadata facts from each record"
 pattern (/root/reference/utils/model_output_smh.py:65-72 +
-/root/reference/utils/jsonld.py:77-108) to free text: an Arrow-batched
-``mapInPandas`` runs vectorized pandas ``.str.extract`` regexes over each
-batch of turns and emits long-form mention rows. No per-row Python in the
-hot path (BASELINE.json input_hint): each pattern is applied to the whole
-batch Series at once.
+/root/reference/utils/jsonld.py:77-108) to free text. The hot path is pure
+Catalyst since round 3: anchored patterns via a CASE WHEN rlike chain +
+``regexp_extract`` (mutually-exclusive heads), dictionary spotting via
+``regexp_extract_all`` + posexplode — everything stays inside whole-stage
+codegen, no Python and no Arrow transfer of raw text. The round-2
+Arrow-batched pandas implementations are retained (``*_pandas``) as
+semantic references pinned by an equivalence test, and as the fallback
+shape for patterns Java regex can't express.
 
 Output schema (long form; one row per extracted mention):
     conv_id, turn_idx, kind, f1..f7
@@ -87,10 +90,38 @@ def _emit(pdf: pd.DataFrame, mask: pd.Series, groups: pd.DataFrame, kind: str) -
     return out
 
 
+# superset alternation of every anchored pattern's head: most transcript
+# turns are chatter that can never match any pattern — this cheap anchored
+# scan drops them before the (pricier) full-pattern work, and is pushed to
+# the parquet scan where the source supports it.
+_PREFILTER = (
+    r"^(?:Round \d|submitting model |(?:license|website|funding|"
+    r"methods_long|methods|data_inputs): |contributor: |uploaded file |"
+    r"observed target=)"
+)
+
+_ANCHORED = [
+    ("round", _PAT_ROUND, 1),
+    ("header", _PAT_HEADER, 5),
+    ("kv", _PAT_KV, 2),
+    ("contributor", _PAT_CONTRIB, 3),
+    ("file", _PAT_FILE, 1),
+    ("fact", _PAT_FACT, 7),
+]
+
+
 def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) -> STRUCTURED
-    mentions (anchored round/header/kv/contributor/file/fact patterns via
-    vectorized ``.str.extract``).
+    mentions (anchored round/header/kv/contributor/file/fact patterns).
+
+    Pure Catalyst (whole-stage codegen, no Python): the six anchored
+    patterns have mutually-exclusive heads, so one lazily-evaluated
+    CASE WHEN rlike chain picks the (single) matching pattern per turn and
+    ``regexp_extract`` pulls its groups — the JVM re-expression of the
+    round-2 Arrow ``.str.extract`` pass (kept as
+    ``extract_mentions_pandas``; ``test_extract_jvm_matches_pandas`` pins
+    row-set equality). A group that matches the empty string yields "" on
+    both paths; f-columns beyond a pattern's group count are NULL.
 
     Free-text dictionary spotting lives in ``spot_mentions`` — a separate
     single-consumer operator so this (multi-consumer, persisted) output
@@ -98,31 +129,49 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     can be many per turn and would bloat the cache every downstream scan
     pays for.
     """
+    text = F.col("text")
 
-    # JVM-side prefilter: a superset alternation of every anchored
-    # pattern's head. Most transcript turns are chatter that can never
-    # match — dropping them BEFORE the Arrow transfer roughly halves the
-    # Python-side volume, and the pandas extracts then scan only
-    # plausible rows. Pushed to the scan when the source supports it.
-    prefilter = (
-        r"^(?:Round \d|submitting model |(?:license|website|funding|"
-        r"methods_long|methods|data_inputs): |contributor: |uploaded file |"
-        r"observed target=)"
+    def pat_struct(kind: str, pat: str, n_groups: int):
+        fields = [F.lit(kind).alias("kind")]
+        for i in range(1, 8):
+            fields.append(
+                F.regexp_extract(text, pat, i).alias(f"f{i}")
+                if i <= n_groups
+                else F.lit(None).cast("string").alias(f"f{i}")
+            )
+        return F.struct(*fields)
+
+    mention = None
+    for kind, pat, n in _ANCHORED:
+        branch = (mention.when if mention is not None else F.when)(
+            text.rlike(pat), pat_struct(kind, pat, n)
+        )
+        mention = branch
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .filter(text.rlike(_PREFILTER))
+        .select("conv_id", "turn_idx", mention.alias("m"))
+        .filter(F.col("m").isNotNull())
+        .select(
+            "conv_id", "turn_idx", F.col("m.kind").alias("kind"),
+            *[F.col(f"m.f{i}").alias(f"f{i}") for i in range(1, 8)],
+        )
     )
 
+
+def extract_mentions_pandas(transcripts: DataFrame) -> DataFrame:
+    """Arrow-batched reference implementation of ``extract_mentions``
+    (round-2's hot path): vectorized pandas ``.str.extract`` per pattern
+    over each batch. Retained to pin the Catalyst version's semantics
+    (equivalence test) and as the fallback shape for patterns a future
+    dialect can't express in Java regex."""
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        patterns = [
-            ("round", _PAT_ROUND),
-            ("header", _PAT_HEADER),
-            ("kv", _PAT_KV),
-            ("contributor", _PAT_CONTRIB),
-            ("file", _PAT_FILE),
-            ("fact", _PAT_FACT),
-        ]
         for pdf in batches:
             text = pdf["text"].astype("string")
             frames = []
-            for kind, pat in patterns:
+            for kind, pat, _n in _ANCHORED:
                 groups = text.str.extract(pat)  # vectorized over the batch
                 mask = groups[0].notna()
                 if mask.any():
@@ -133,7 +182,7 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
                 yield pd.DataFrame(columns=_COLS)
 
     return transcripts.select("conv_id", "turn_idx", "text").filter(
-        F.col("text").rlike(prefilter)
+        F.col("text").rlike(_PREFILTER)
     ).mapInPandas(
         gen, schema=MENTION_SCHEMA
     )
@@ -142,18 +191,50 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
 SPOTTED_SCHEMA = "conv_id string, turn_idx int, kind string, term string"
 
 
+def _spot_patterns() -> list:
+    return [
+        ("entity", _entity_pattern()),
+        ("concept", _PAT_CONCEPT),
+        ("date", _PAT_DATE),
+    ]
+
+
 def spot_mentions(transcripts: DataFrame) -> DataFrame:
     """Unanchored dictionary mention spotting over the FULL text of every
     turn: location entities, concept vocabulary, ISO dates — one row per
     occurrence. This is the hot scan at transcript scale (every byte of
-    every turn), vectorized ``.str.findall`` per Arrow batch."""
+    every turn).
+
+    Pure Catalyst: one scan computes ``regexp_extract_all`` per dictionary
+    (compiled-once literal patterns, whole-stage codegen), then a
+    posexplode over the three term arrays + an explode over terms emit the
+    long-form rows — no Arrow transfer of the raw text at all. The pandas
+    variant (``spot_mentions_pandas``) is retained as the semantic
+    reference; ``test_extract_jvm_matches_pandas`` pins equality."""
+    pats = _spot_patterns()
+    kinds = F.array(*[F.lit(k) for k, _ in pats])
+    term_arrays = F.array(
+        *[F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(1)) for _, p in pats]
+    )
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", F.posexplode(term_arrays).alias("pos", "terms")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.element_at(kinds, F.col("pos") + 1).alias("kind"),
+            F.explode("terms").alias("term"),
+        )
+    )
+
+
+def spot_mentions_pandas(transcripts: DataFrame) -> DataFrame:
+    """Arrow-batched reference implementation of ``spot_mentions``:
+    vectorized ``.str.findall`` per Arrow batch (round-2's hot path)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pats = [
-            ("entity", _entity_pattern()),
-            ("concept", _PAT_CONCEPT),
-            ("date", _PAT_DATE),
-        ]
+        pats = _spot_patterns()
         cols = ["conv_id", "turn_idx", "kind", "term"]
         for pdf in batches:
             text = pdf["text"].astype("string")

@@ -26,6 +26,23 @@ def test_spotted_mention_kinds(spark, spec):
     assert "United States" in ents
 
 
+def test_extract_jvm_matches_pandas(spark, spec):
+    """The Catalyst extraction (CASE WHEN rlike + regexp_extract /
+    regexp_extract_all) must emit exactly the rows the retained Arrow
+    reference implementations emit — including multiplicity (spot rows are
+    one per occurrence)."""
+    tr = synth.transcripts_df(spark, spec)
+
+    def bag(df):
+        out = {}
+        for r in df.collect():
+            out[tuple(r)] = out.get(tuple(r), 0) + 1
+        return out
+
+    assert bag(extract.extract_mentions(tr)) == bag(extract.extract_mentions_pandas(tr))
+    assert bag(extract.spot_mentions(tr)) == bag(extract.spot_mentions_pandas(tr))
+
+
 def test_conversation_dim(spark, spec):
     m = extract.extract_mentions(synth.transcripts_df(spark, spec))
     cd = extract.conversation_dim(m)
