@@ -141,6 +141,39 @@ def test_connected_components_and_iri_stability(spark):
     assert by_vertex == iris2
 
 
+def test_connected_components_chain_converges_logarithmically(spark):
+    """The large-star/small-star rewrite must handle the worst shape for
+    label propagation — a path graph — in O(log n) rounds, not O(diameter).
+    Chain of 121 vertices (diameter 120): correct single component labeled
+    by the min vertex, in <= 12 alternation rounds."""
+    n = 121
+    ids = [f"v{i:03d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "src string, dst string"
+    )
+    stats = {}
+    cc = canon.connected_components(edges, stats=stats)
+    comp = {r.vertex: r.component for r in cc.collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {"v000"}
+    assert stats["iterations"] <= 12, stats
+
+
+def test_connected_components_mixed_shapes(spark):
+    """Stars, a cycle, and an isolated edge in one pass — labels are the
+    per-component minimum regardless of shape."""
+    edges = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("c", "d"),          # star rooted off-min
+         ("m", "n"), ("n", "o"), ("o", "m"),          # cycle
+         ("z1", "z2")],                                # pair
+        "src string, dst string",
+    )
+    comp = {r.vertex: r.component for r in canon.connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["m"] == comp["n"] == comp["o"] == "m"
+    assert comp["z1"] == comp["z2"] == "z1"
+
+
 def test_sameas_edges_from_linking(spark):
     linked = spark.createDataFrame(
         [("california", "06"), ("ca", "06"), ("06", "06"), (None, "06")],
