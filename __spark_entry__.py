@@ -268,6 +268,21 @@ def q_token_count(spark, sf):
     )
 
 
+def q_subword_token_count(spark, sf):
+    """textstats: REAL greedy longest-match subword tokenizer (broadcast
+    vocab pandas UDF). ORACLE-CHECKED cross-engine: the DuckDB side
+    re-implements maximal munch as a recursive CTE over the same
+    checked-in vocab (functions/subword_vocab.txt) — a genuinely
+    independent implementation, not an embedded constant."""
+    from smh_to_jsonld_spark.operators import textstats
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        textstats.subword_token_count(F.col("text")).alias("n_subword_tokens"),
+    )
+
+
 def q_quality_score(spark, sf):
     """textstats: length/punct/stopword quality features."""
     from smh_to_jsonld_spark.operators import textstats
@@ -414,6 +429,21 @@ def q_ivf_assign(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     return similarity.ivf_assign(e).select("vec_id", "centroid")
+
+
+def q_kmeans_iteration(spark, sf):
+    """similarity: ONE distributed Lloyd's iteration (spherical k-means)
+    from the fixed seeded centroids — the unit of kmeans_train.
+    ORACLE-CHECKED as implementation equivalence: the DuckDB SQL embeds
+    the same centroid literals, replicates argmax-dot assignment,
+    per-cluster element-wise mean and unit renormalization."""
+    from smh_to_jsonld_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    cents = similarity.seeded_centroids(16, 64, 7)
+    return similarity.kmeans_update_once(e, cents).select(
+        "centroid", "pos", F.round("value", 4).alias("value")
+    )
 
 
 def q_kg_mentions(spark, sf):
@@ -568,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_insensitive_sort": q_case_insensitive_sort,
         "union_distinct": q_union_distinct,
         "token_count": q_token_count,
+        "subword_token_count": q_subword_token_count,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
@@ -580,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ivf_assign": q_ivf_assign,
+        "kmeans_iteration": q_kmeans_iteration,
         "kg_mentions": q_kg_mentions,
         "events_daily": q_events_daily,
         "events_json_extract": q_events_json_extract,
@@ -652,6 +684,87 @@ def _ivf_assign_oracle_sql() -> str:
         SELECT vec_id,
                (list_indexof(scores, list_max(scores)) - 1)::INT AS centroid
         FROM s
+    """
+
+
+def _kmeans_iteration_oracle_sql() -> str:
+    """DuckDB replica of ONE similarity.kmeans_update_once iteration from
+    the seed-7 centroids: same argmax-dot assignment (list_indexof ==
+    array_position, both 1-based first-max), per-cluster per-position mean
+    via a range(1,65) position join, unit renormalization, round(4)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(16, 64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    dots = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "])"
+        for c in cents
+    )
+    return f"""
+        WITH s AS (
+            SELECT embedding::DOUBLE[] AS v FROM embeddings
+        ), sc AS (
+            SELECT v, [{dots}] AS scores FROM s
+        ), a AS (
+            SELECT (list_indexof(scores, list_max(scores)) - 1)::INT
+                       AS centroid, v
+            FROM sc
+        ), e AS (
+            SELECT centroid, (r.range - 1)::INT AS pos, v[r.range] AS val
+            FROM a, range(1, 65) r
+        ), m AS (
+            SELECT centroid, pos, avg(val) AS m FROM e GROUP BY centroid, pos
+        ), n AS (
+            SELECT centroid, sqrt(sum(m * m)) AS norm FROM m GROUP BY centroid
+        )
+        SELECT m.centroid, m.pos,
+               ROUND(CASE WHEN n.norm > 0 THEN m.m / n.norm ELSE m.m END, 4)
+                   AS value
+        FROM m JOIN n ON m.centroid = n.centroid
+    """
+
+
+def _subword_token_count_oracle_sql() -> str:
+    """Cross-engine replica of textstats.subword_token_count: greedy
+    longest-prefix (maximal munch) segmentation as a DuckDB RECURSIVE CTE
+    — per distinct word, each recursion step consumes the longest vocab
+    token that prefixes the remainder (or 1 UNK char), so max(cnt) is the
+    word's segment count; doc totals weight by word multiplicity."""
+    from smh_to_jsonld_spark.operators.textstats import load_subword_vocab
+
+    values = ", ".join(f"('{t}')" for t in load_subword_vocab())
+    return f"""
+        WITH RECURSIVE vocab(tok) AS (
+            SELECT * FROM (VALUES {values}) v(tok)
+        ), dw AS (
+            SELECT doc_id, w, count(*) AS n FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+                FROM documents WHERE doc_id < 100
+            ) WHERE w <> '' GROUP BY doc_id, w
+        ), words AS (
+            SELECT DISTINCT w FROM dw
+        ), seg(w, rem, cnt) AS (
+            SELECT w, w, 0::BIGINT FROM words
+            UNION ALL
+            SELECT w,
+                   substr(rem, 1 + coalesce((SELECT max(length(tok))
+                                             FROM vocab
+                                             WHERE starts_with(rem, tok)), 1)),
+                   cnt + 1
+            FROM seg WHERE rem <> ''
+        ), per_word AS (
+            SELECT w, max(cnt) AS toks FROM seg GROUP BY w
+        ), per_doc AS (
+            SELECT doc_id, sum(dw.n * per_word.toks) AS t
+            FROM dw JOIN per_word USING (w) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(p.t, 0)::BIGINT AS n_subword_tokens
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        LEFT JOIN per_doc p USING (doc_id)
     """
 
 
@@ -777,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces
             FROM documents WHERE doc_id < 100
         """,
+        "subword_token_count": _subword_token_count_oracle_sql(),
         "quality_score": """
             WITH f AS (
               SELECT doc_id,
@@ -922,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_topk_lsh": _lsh_topk_oracle_sql(),
         "ivf_assign": _ivf_assign_oracle_sql(),
+        "kmeans_iteration": _kmeans_iteration_oracle_sql(),
         "transcript_triples": _golden_pred_counts_sql(),
         "salted_agg": """
             SELECT l_returnflag, count(*) AS n_rows,

@@ -28,6 +28,7 @@ HEADLINE = [
     "events_daily",
     "kg_mentions",
     "token_count",
+    "subword_token_count",
     "quality_score",
     "language_id",
     "exact_dedup_stats",

@@ -127,20 +127,19 @@ def lsh_topk(
     )
 
 
-def ivf_assign(corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
-               id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7) -> DataFrame:
-    """IVF-style coarse quantization with FIXED random centroids (seeded —
-    deterministic without an iterative k-means job; at real scale you'd
-    train centroids offline and broadcast them just the same).
-    Adds `centroid` = argmax cosine."""
+def seeded_centroids(n_centroids: int, dim: int, seed: int) -> list:
+    """Deterministic unit-norm random centroids — k-means init (and the
+    round-2 'train offline' stand-in)."""
     rng = np.random.RandomState(seed)
     cents = rng.randn(n_centroids, dim)
-    cents = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).tolist()
-    v = _as_double(F.col(vec_col))
+    return (cents / np.linalg.norm(cents, axis=1, keepdims=True)).tolist()
+
+
+def _score_array(v, cents: list):
     # one score expression per centroid in a single array, argmax via
     # array_position — a when-chain would EMBED each prior score twice per
     # step (2^n expression blowup that stalls analysis/codegen)
-    scores = F.array(
+    return F.array(
         *[
             F.aggregate(
                 F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
@@ -150,5 +149,104 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
             for c in cents
         ]
     )
-    centroid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-    return corpus.select(F.col(id_col), F.col(vec_col), centroid.alias("centroid"))
+
+
+def _assign_expr(v, cents: list):
+    scores = _score_array(v, cents)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_assign(corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
+               centroids: list | None = None) -> DataFrame:
+    """IVF-style coarse quantization: `centroid` = argmax dot product
+    against unit-norm centroids (== argmax cosine). Pass ``centroids``
+    from :func:`kmeans_train` for a real index; default is the seeded
+    random codebook (deterministic, oracle-checkable without training)."""
+    cents = centroids if centroids is not None else seeded_centroids(n_centroids, dim, seed)
+    v = _as_double(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col), F.col(vec_col), _assign_expr(v, cents).alias("centroid")
+    )
+
+
+def kmeans_update_once(corpus: DataFrame, centroids: list,
+                       vec_col: str = "embedding") -> DataFrame:
+    """ONE Lloyd's iteration as a pure DataFrame plan (the unit the oracle
+    checks): assign each vector to its argmax-dot centroid, element-wise
+    mean per cluster (posexplode -> groupBy(centroid, pos) avg, map-side
+    partial agg), then renormalize to the unit sphere (spherical k-means —
+    the update matching the cosine assignment rule). Empty clusters emit
+    no rows (the driver keeps their previous centroid).
+
+    Returns long-form (centroid, pos, value)."""
+    v = _as_double(F.col(vec_col))
+    assigned = corpus.select(_assign_expr(v, centroids).alias("centroid"), v.alias("v"))
+    comps = assigned.select("centroid", F.posexplode("v").alias("pos", "val"))
+    means = comps.groupBy("centroid", "pos").agg(F.avg("val").alias("m"))
+    norms = means.groupBy("centroid").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("norm")
+    )
+    return means.join(norms, "centroid").select(
+        "centroid",
+        "pos",
+        F.when(F.col("norm") > 0, F.col("m") / F.col("norm"))
+        .otherwise(F.col("m"))
+        .alias("value"),
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iterations: int = 20,
+    tol: float = 1e-4,
+) -> tuple:
+    """Distributed spherical k-means (Lloyd's) for IVF centroid training —
+    the round-2 'plumbing, not product' gap closed.
+
+    Spark shape: the centroid table is k x dim doubles — driver-resident
+    and broadcast into each iteration's plan AS LITERALS (the MLlib
+    pattern), so unlike the connected-components fixpoint there is no
+    growing self-join lineage at all: every iteration is the same
+    constant-size plan (scan -> argmax -> partial+final avg) over the
+    persisted vector cache, and the only driver sync is the k x dim
+    collect. Scale cost: one scan + one (centroid, pos)-keyed shuffle of
+    k*dim partial means per iteration; no shuffle of raw vectors.
+
+    Returns (centroids, shifts): final unit-norm centroid list and the
+    per-iteration max centroid displacement (L2) — converged when the last
+    shift < tol.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = corpus.select(_as_double(F.col(vec_col)).alias("__v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cents = seeded_centroids(n_centroids, dim, seed)
+    shifts = []
+    try:
+        for _ in range(max_iterations):
+            rows = kmeans_update_once(vecs, cents, vec_col="__v").collect()
+            by_cluster: dict = {}
+            for r in rows:
+                by_cluster.setdefault(r.centroid, {})[r.pos] = r.value
+            new = [list(c) for c in cents]  # empty clusters keep previous
+            shift = 0.0
+            for ci, d in by_cluster.items():
+                nv = [d[p] for p in range(dim)]
+                shift = max(
+                    shift,
+                    sum((a - b) ** 2 for a, b in zip(nv, new[ci])) ** 0.5,
+                )
+                new[ci] = nv
+            cents = new
+            shifts.append(shift)
+            if shift < tol:
+                break
+    finally:
+        vecs.unpersist()
+    return cents, shifts

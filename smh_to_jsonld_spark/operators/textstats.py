@@ -3,11 +3,14 @@ language-ID, quality scoring, token counting, fingerprinting.
 
 All pure Catalyst (no Python in the hot path): tokenization via split,
 set ops via array_intersect/filter, hashing via md5/xxhash64. Each has an
-exact ANSI-SQL oracle (see __spark_entry__.oracle_sql).
+exact ANSI-SQL oracle (see __spark_entry__.oracle_sql). The one exception
+is ``subword_token_count`` — a genuinely iterative tokenizer loop, run as
+an Arrow-batched pandas UDF with a broadcast vocab and a per-batch memo.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +43,79 @@ def bpe_ish_token_count(text: Column) -> Column:
     """
     pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
     return F.size(pieces)
+
+
+def load_subword_vocab() -> tuple:
+    """The checked-in subword vocabulary (functions/subword_vocab.txt):
+    multi-char merges + every [a-z0-9] single char, so greedy matching
+    always makes progress on the corpus alphabet."""
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parents[1] / "functions" / "subword_vocab.txt"
+    return tuple(t for t in p.read_text().splitlines() if t.strip())
+
+
+def subword_count_word(word: str, vocab: frozenset, max_len: int) -> int:
+    """Greedy longest-prefix-match segment count for one word — the
+    WordPiece/BPE *inference* rule (maximal munch); an out-of-vocabulary
+    char consumes itself as one UNK token."""
+    i, n, c = 0, len(word), 0
+    while i < n:
+        for ln in range(min(max_len, n - i), 0, -1):
+            if word[i : i + ln] in vocab:
+                i += ln
+                break
+        else:
+            i += 1
+        c += 1
+    return c
+
+
+def subword_token_count(text: Column, vocab: list | None = None) -> Column:
+    """REAL subword token count (vs the ``bpe_ish_token_count`` regex
+    proxy): lowercase, split on ``[^a-z0-9]+``, then greedy longest-match
+    segmentation of each word against a broadcast vocabulary.
+
+    Spark shape: an Arrow-batched pandas UDF (the tokenizer loop is
+    genuinely iterative — not expressible as built-in expressions). The
+    vocabulary ships in the UDF closure (tiny; for production-size 50k
+    vocabs hand it to ``sparkContext.broadcast`` and look it up in the
+    UDF). A per-batch word->count memo exploits Zipf repetition, so the
+    inner loop runs roughly once per distinct word per batch, not once
+    per occurrence. Oracle-checked cross-engine: the DuckDB replica
+    (``subword_token_count`` query) re-implements maximal munch as a
+    recursive CTE over the same checked-in vocab.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    toks = tuple(vocab) if vocab is not None else load_subword_vocab()
+    vs = frozenset(toks)
+    ml = max(map(len, toks))
+    split_re = re.compile(r"[^a-z0-9]+")
+
+    @pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def doc_count(t):
+            if t is None:
+                return 0
+            total = 0
+            for w in split_re.split(t.lower()):
+                if not w:
+                    continue
+                c = cache.get(w)
+                if c is None:
+                    c = subword_count_word(w, vs, ml)
+                    cache[w] = c
+                total += c
+            return total
+
+        return s.map(doc_count)
+
+    return _count(text)
 
 
 def stopword_score(text: Column, lang: str) -> Column:

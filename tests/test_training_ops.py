@@ -128,6 +128,65 @@ def test_ivf_assign_deterministic(spark):
     assert set(a1.values()) <= set(range(16))
 
 
+def test_kmeans_converges_and_separates_clusters(spark):
+    """Lloyd's loop on three well-separated directional clusters: shifts
+    must decrease to < tol before max_iterations, and the trained
+    assignment must put each planted cluster wholly in one cell."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dim, per = 8, 30
+    bases = np.eye(dim)[:3]  # three orthogonal directions
+    rows = []
+    for ci, b in enumerate(bases):
+        for j in range(per):
+            v = b + rng.randn(dim) * 0.05
+            rows.append((ci * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    cents, shifts = similarity.kmeans_train(
+        df, n_centroids=3, dim=dim, seed=7, max_iterations=15, tol=1e-4
+    )
+    assert len(shifts) < 15 and shifts[-1] < 1e-4  # converged early
+    assert all(abs(sum(x * x for x in c) - 1.0) < 1e-9 for c in cents)  # unit
+
+    assigned = similarity.ivf_assign(df, centroids=cents, dim=dim)
+    cells = {}
+    for r in assigned.collect():
+        cells.setdefault(r.vec_id // per, set()).add(r.centroid)
+    assert all(len(s) == 1 for s in cells.values())  # each cluster intact
+    assert len(set().union(*cells.values())) == 3  # ...in distinct cells
+
+
+def test_kmeans_update_once_matches_numpy(spark):
+    """One distributed iteration == the numpy reference on the same data
+    (assignment by argmax dot, per-cluster mean, renormalize)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(40, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id int, embedding array<float>",
+    )
+    cents = np.array(similarity.seeded_centroids(4, 16, 7))
+    Xf = np.array([[np.float64(np.float32(x)) for x in row] for row in X])
+    assign = np.argmax(Xf @ cents.T, axis=1)
+    got = {
+        (r.centroid, r.pos): r.value
+        for r in similarity.kmeans_update_once(df, cents.tolist()).collect()
+    }
+    for ci in range(4):
+        members = Xf[assign == ci]
+        if not len(members):
+            assert all(k[0] != ci for k in got)
+            continue
+        m = members.mean(axis=0)
+        m = m / np.linalg.norm(m)
+        for pos in range(16):
+            assert abs(got[(ci, pos)] - m[pos]) < 1e-9
+
+
 def test_token_counts(spark):
     df = _docs(spark, ["one two  three", "", "  ", "don't stop-me now!"])
     got = {
@@ -142,6 +201,46 @@ def test_token_counts(spark):
     assert got[1][0] == 0 and got[2][0] == 0
     # don ' t stop - me now !  => 8 pieces
     assert got[3] == (3, 8)
+
+
+def test_subword_token_count_greedy_longest_match(spark):
+    """Hand-computed maximal-munch segmentations with the checked-in
+    vocab (contains 'the', 'spark', 'ing', and all [a-z0-9] singles)."""
+    df = spark.createDataFrame(
+        [
+            (0, "the sparking"),      # the | spark+ing         = 3
+            (1, ""),                   # no words                = 0
+            (2, None),                 # null text               = 0
+            (3, "THE Spark-ing 42!"),  # case/punct: the|spark|ing|4|2
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", textstats.subword_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {0: 3, 1: 0, 2: 0, 3: 5}
+
+    # pure-Python reference agrees with the UDF on real corpus text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    vocab = textstats.load_subword_vocab()
+    vs, ml = frozenset(vocab), max(map(len, vocab))
+    import re
+
+    def ref(t):
+        return sum(
+            textstats.subword_count_word(w, vs, ml)
+            for w in re.split(r"[^a-z0-9]+", (t or "").lower())
+            if w
+        )
+
+    rows = docs.select(
+        "doc_id", "text", textstats.subword_token_count(F.col("text")).alias("n")
+    ).collect()
+    for r in rows:
+        assert r.n == ref(r.text)
 
 
 def test_language_id_heuristic(spark):
