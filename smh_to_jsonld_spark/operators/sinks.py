@@ -162,7 +162,40 @@ def render_round_html(
         sec.append(f"<p>{' '.join(info)}</p>")
         if doc.get("description"):
             sec.append(f"<p><strong>Description:</strong> {html.escape(doc['description'])}</p>")
+        # contributors block (jsonld_to_html.py:326-349 generate_authors
+        # _section): name / affiliation-name-or-N/A / mailto link
+        authors = doc.get("author") or []
+        if authors:
+            blocks = []
+            for a in authors:
+                nm_a = html.escape(a.get("name") or "Unknown")
+                aff = html.escape((a.get("affiliation") or {}).get("name") or "N/A")
+                blk = f"<strong>{nm_a}</strong><br><em>{aff}</em><br>"
+                if a.get("email"):
+                    e = html.escape(a["email"])
+                    blk += f'<a href="mailto:{e}">{e}</a>'
+                blocks.append(f'<div class="author">{blk}</div>')
+            sec.append(
+                f'<h3>Authors</h3><div class="authors-grid">{"".join(blocks)}</div>'
+            )
         we = doc.get("workExample") or {}
+        # temporalCoverage "start/end" split with time-of-day stripped
+        # (jsonld_to_html.py:538-553 generate_temporal_coverage_section)
+        temporal = we.get("temporalCoverage")
+        if temporal:
+            if "/" in temporal:
+                start, end = temporal.split("/", 1)
+                start, end = start.split(" ")[0], end.split(" ")[0]
+                sec.append(
+                    f'<p><strong>Temporal Coverage:</strong> <span class="location">'
+                    f'{html.escape(start)}</span> to <span class="location">'
+                    f"{html.escape(end)}</span></p>"
+                )
+            else:
+                sec.append(
+                    f'<p><strong>Temporal Coverage:</strong> <span class="location">'
+                    f"{html.escape(temporal)}</span></p>"
+                )
         locs = we.get("spatialCoverage") or []
         if locs:
             loc_html = "<br>".join(_location_link(l, geodata_map) for l in locs)

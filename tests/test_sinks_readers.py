@@ -145,6 +145,51 @@ def test_license_links_and_geonames_fallback(spark, spec, tmp_path):
     assert "geonames.org/search.html?q=" in content
 
 
+def test_html_authors_and_temporal_coverage(spark, spec, tmp_path):
+    """Reference parity for the two round-2 gaps (jsonld_to_html.py:326-349
+    authors grid, 538-553 temporalCoverage interval split): contributor
+    name/affiliation/mailto blocks and the start-to-end rendering with any
+    time-of-day stripped."""
+    res = _run(spark, spec)
+    html_dir = tmp_path / "html_at"
+    sinks.write_round_html(
+        res["consolidated"], str(html_dir), model_docs=res["model_docs"]
+    )
+    content = (html_dir / "round_2031-01-05.html").read_text()
+
+    # authors: every contributor of a fixture doc appears with mailto link
+    doc = json.loads(
+        res["model_docs"]
+        .filter("model_name = 'team0-modelA' AND round_id = '2031-01-05'")
+        .first()
+        .doc_json
+    )
+    assert "<h3>Authors</h3>" in content and 'class="authors-grid"' in content
+    for a in doc["author"]:
+        assert f"<strong>{a['name']}</strong>" in content
+        assert f"mailto:{a['email']}" in content
+    # affiliation renders its name, or N/A when absent
+    affs = [(a.get("affiliation") or {}).get("name") for a in doc["author"]]
+    for aff in affs:
+        assert f"<em>{aff}</em>" in content if aff else "<em>N/A</em>" in content
+
+    # temporal coverage: interval split into start 'to' end spans
+    start, end = doc["workExample"]["temporalCoverage"].split("/", 1)
+    start, end = start.split(" ")[0], end.split(" ")[0]
+    assert (
+        f'<strong>Temporal Coverage:</strong> <span class="location">{start}</span>'
+        f' to <span class="location">{end}</span>' in content
+    )
+
+    # non-interval + time-of-day-stripping branches (unit-level)
+    single = sinks.render_round_html(
+        {"name": "r", "hasPart": [{"name": "m"}], "numberOfItems": 1},
+        model_docs={"m": {"workExample": {"temporalCoverage": "2030-01-01 00:00/2030-06-01 12:00"}}},
+    )
+    assert '<span class="location">2030-01-01</span> to' in single
+    assert "2030-06-01</span>" in single and "12:00" not in single
+
+
 def test_license_url_column(spark):
     from smh_to_jsonld_spark.functions import dims
 
