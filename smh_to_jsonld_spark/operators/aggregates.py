@@ -27,22 +27,6 @@ FACT_FIELDS = (
 )
 
 
-def _ordered_distinct(order_col: str, value_col: str):
-    """First-appearance-ordered distinct values (pandas `Series.unique`
-    semantics, utils/model_output_smh.py:65-72): collect (order, value)
-    pairs, sort by order, project values, array_distinct (which keeps the
-    FIRST occurrence of each value — Spark guarantees first-wins order).
-    NULLs are skipped to match collect_set.
-    """
-    pairs = F.collect_list(
-        F.when(
-            F.col(value_col).isNotNull(),
-            F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")),
-        )
-    )
-    return F.array_distinct(F.transform(F.array_sort(pairs), lambda s: s["v"]))
-
-
 def distinct_field_values(
     facts: DataFrame, keys=("round_id", "model_id"), order_col: str | None = None
 ) -> DataFrame:
