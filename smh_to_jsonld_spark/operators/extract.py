@@ -66,12 +66,22 @@ def _entity_pattern() -> str:
 
 
 # concept vocabulary (targets, diseases) + ISO dates — the other mention
-# classes a KG pipeline spots in free text
-_PAT_CONCEPT = (
-    r"\b(peak inc hosp|inc hosp|cum hosp|RSV|Influenza|hospitalizations?"
-    r"|surveillance|calibration|scenario)\b"
+# classes a KG pipeline spots in free text. Longest-first within the
+# dictionary so "peak inc hosp" beats "inc hosp".
+_CONCEPT_BRANCHES = [
+    "peak inc hosp", "inc hosp", "cum hosp", "RSV", "Influenza",
+    "hospitalizations?", "surveillance", "calibration", "scenario",
+]
+# the literal strings the concept branches can match (for classifying
+# terms found by the combined single-pass scan)
+_CONCEPT_TERMS = frozenset(
+    ["peak inc hosp", "inc hosp", "cum hosp", "RSV", "Influenza",
+     "hospitalization", "hospitalizations", "surveillance", "calibration",
+     "scenario"]
 )
-_PAT_DATE = r"\b(\d{4}-\d{2}-\d{2})\b"
+_PAT_CONCEPT = r"\b(" + "|".join(_CONCEPT_BRANCHES) + r")\b"
+_DATE_BRANCH = r"\d{4}-\d{2}-\d{2}"
+_PAT_DATE = r"\b(" + _DATE_BRANCH + r")\b"
 
 
 def _emit(pdf: pd.DataFrame, mask: pd.Series, groups: pd.DataFrame, kind: str) -> pd.DataFrame:
@@ -199,33 +209,60 @@ def _spot_patterns() -> list:
     ]
 
 
+def _spot_combined_pattern() -> str:
+    """ONE regex for all three dictionaries, with a first-char lookahead
+    guard.
+
+    Equivalence precondition (holds for these dictionaries, asserted
+    below): no term of one dictionary can overlap a match of another in
+    text (entities are capitalized proper names, concepts lowercase/known
+    literals, dates all digits; no shared prefixes), so a single
+    left-to-right scan finds exactly the union of the three per-dictionary
+    scans. Within a dictionary, branch order (longest-first) is preserved.
+
+    The `(?=[...])` guard is the speed lever: java.util.regex tries
+    alternation branches sequentially at every position, so the naive
+    ~70-branch union costs ~70 first-char tests per input char; the
+    lookahead character class rejects non-starting positions in ONE test.
+    """
+    from smh_to_jsonld_spark.functions.dims import fips_rows
+
+    import re as _re
+
+    names = sorted({n for _, _, n in fips_rows()}, key=len, reverse=True)
+    assert not (set(names) & _CONCEPT_TERMS), "dictionaries must be disjoint"
+    branches = [_re.escape(n) for n in names] + _CONCEPT_BRANCHES + [_DATE_BRANCH]
+    firsts = {n[0] for n in names} | {t[0] for t in _CONCEPT_TERMS} | set("0123456789")
+    cls = "".join(sorted(firsts))
+    return r"\b(?=[" + cls + r"])(" + "|".join(branches) + r")\b"
+
+
 def spot_mentions(transcripts: DataFrame) -> DataFrame:
     """Unanchored dictionary mention spotting over the FULL text of every
     turn: location entities, concept vocabulary, ISO dates — one row per
     occurrence. This is the hot scan at transcript scale (every byte of
     every turn).
 
-    Pure Catalyst: one scan computes ``regexp_extract_all`` per dictionary
-    (compiled-once literal patterns, whole-stage codegen), then a
-    posexplode over the three term arrays + an explode over terms emit the
-    long-form rows — no Arrow transfer of the raw text at all. The pandas
-    variant (``spot_mentions_pandas``) is retained as the semantic
-    reference; ``test_extract_jvm_matches_pandas`` pins equality."""
-    pats = _spot_patterns()
-    kinds = F.array(*[F.lit(k) for k, _ in pats])
-    term_arrays = F.array(
-        *[F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(1)) for _, p in pats]
+    Pure Catalyst, single pass: ONE ``regexp_extract_all`` with the
+    combined lookahead-guarded pattern (compiled once, whole-stage
+    codegen), one explode, then each term is classified back to its
+    dictionary (date by shape, concept by literal membership, else
+    entity) — no Arrow transfer of the raw text, and the text is scanned
+    once instead of once per dictionary. The pandas variant
+    (``spot_mentions_pandas``) is the semantic reference;
+    ``test_extract_jvm_matches_pandas`` pins bag equality."""
+    terms = F.regexp_extract_all(
+        F.col("text"), F.lit(_spot_combined_pattern()), F.lit(1)
+    )
+    concept_lits = F.array(*[F.lit(t) for t in sorted(_CONCEPT_TERMS)])
+    kind = (
+        F.when(F.col("term").rlike(r"^\d{4}-\d{2}-\d{2}$"), F.lit("date"))
+        .when(F.array_contains(concept_lits, F.col("term")), F.lit("concept"))
+        .otherwise(F.lit("entity"))
     )
     return (
-        transcripts.select(
-            "conv_id", "turn_idx", F.posexplode(term_arrays).alias("pos", "terms")
-        )
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.element_at(kinds, F.col("pos") + 1).alias("kind"),
-            F.explode("terms").alias("term"),
-        )
+        transcripts.select("conv_id", "turn_idx", F.explode(terms).alias("term"))
+        .select("conv_id", "turn_idx", kind.alias("kind"), "term")
     )
 
 

@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SMHKG_DRIVER_MEM", "8g"))
+        # local-mode JVM flags (e.g. GC choice) — at 32 threads in ONE JVM
+        # the collector is a shared resource a real per-executor-JVM
+        # cluster doesn't contend on; see BENCH/BASELINE.md
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SMHKG_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.local.dir", os.environ.get("SMHKG_LOCAL_DIR", "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.jsonGenerator.ignoreNullFields", "true")
