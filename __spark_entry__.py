@@ -431,6 +431,22 @@ def q_ivf_assign(spark, sf):
     return similarity.ivf_assign(e).select("vec_id", "centroid")
 
 
+def q_ivf_topk(spark, sf):
+    """similarity: IVF search (probe nprobe nearest cells, exact-score
+    inside). ORACLE-CHECKED as implementation equivalence: the DuckDB SQL
+    embeds the same seeded centroid literals, ranks probe cells with the
+    same (score desc, cell asc) tie-break, and applies the same first-max
+    corpus cell assignment."""
+    from smh_to_jsonld_spark.operators import similarity
+
+    e = _t(spark, sf, "embeddings")
+    cents = similarity.seeded_centroids(16, 64, 7)
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") >= 5), e.filter(F.col("vec_id") < 5),
+        cents, k=3, nprobe=2,
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_kmeans_iteration(spark, sf):
     """similarity: ONE distributed Lloyd's iteration (spherical k-means)
     from the fixed seeded centroids — the unit of kmeans_train.
@@ -611,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "kmeans_iteration": q_kmeans_iteration,
         "kg_mentions": q_kg_mentions,
         "events_daily": q_events_daily,
@@ -684,6 +701,55 @@ def _ivf_assign_oracle_sql() -> str:
         SELECT vec_id,
                (list_indexof(scores, list_max(scores)) - 1)::INT AS centroid
         FROM s
+    """
+
+
+def _ivf_topk_oracle_sql() -> str:
+    """DuckDB replica of similarity.ivf_topk(k=3, nprobe=2) with the
+    seed-7 centroids: query probe ranking = row_number over (dot DESC,
+    cell ASC) — the same total order as Spark's array_sort over
+    (neg-score, cell-index) structs; corpus cell = first-max argmax
+    (list_indexof); exact cosine re-scoring inside probed cells."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(16, 64)
+    cents = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    dots = ", ".join(
+        "list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + "])"
+        for c in cents
+    )
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sc AS (
+            SELECT vec_id, v, [{dots}] AS scores FROM s
+        ), corpus AS (
+            SELECT vec_id AS neighbor_id, v AS cv,
+                   (list_indexof(scores, list_max(scores)) - 1)::INT AS cell
+            FROM sc WHERE vec_id >= 5
+        ), qc AS (
+            SELECT vec_id AS query_id, v AS qv, (r.range)::INT AS ci,
+                   scores[r.range + 1] AS sc_val
+            FROM sc, range(0, 16) r WHERE vec_id < 5
+        ), ranked AS (
+            SELECT query_id, qv, ci,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sc_val DESC, ci ASC) AS pr
+            FROM qc
+        ), probes AS (
+            SELECT query_id, qv, ci AS cell FROM ranked WHERE pr <= 2
+        ), cand AS (
+            SELECT p.query_id, c.neighbor_id,
+                   list_cosine_similarity(p.qv, c.cv) AS cos
+            FROM probes p JOIN corpus c USING (cell)
+        )
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM cand QUALIFY rank <= 3
     """
 
 
@@ -1036,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_topk_lsh": _lsh_topk_oracle_sql(),
         "ivf_assign": _ivf_assign_oracle_sql(),
+        "ivf_topk": _ivf_topk_oracle_sql(),
         "kmeans_iteration": _kmeans_iteration_oracle_sql(),
         "transcript_triples": _golden_pred_counts_sql(),
         "salted_agg": """

@@ -170,6 +170,65 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search — the third leg of train (kmeans_train) -> index
+    (ivf_assign) -> search: each query exact-scores ONLY the corpus rows
+    in its ``nprobe`` nearest centroid cells, cutting scored candidates
+    from N to ~N * nprobe / n_centroids.
+
+    Spark shape: the corpus is assigned to cells inline (at scale it is a
+    pre-materialized ivf_assign table, bucketed by centroid); queries rank
+    the centroid score array via array_sort over (neg-score, cell-index)
+    structs (deterministic ties: lower cell wins), explode their probe
+    list, and candidate generation is a broadcast equi-join on the cell
+    id. Output: (query_id, neighbor_id, rank, cosine) like the other
+    top-k operators; recall < 1 by construction (cells not probed are
+    unseen) — the documented IVF trade.
+    """
+    nc = len(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.withColumn("cell", _assign_expr(F.col("cv"), centroids))
+
+    qv = _as_double(F.col(vec_col))
+    scores = _score_array(qv, centroids)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(nc - 1)),
+        lambda i: F.struct(
+            (F.lit(0.0) - F.get(scores, i)).alias("ns"), i.alias("ci")
+        ),
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["ci"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("qv"),
+        F.explode(probes).alias("cell"),
+    )
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
+    )
+
+
 def kmeans_update_once(corpus: DataFrame, centroids: list,
                        vec_col: str = "embedding") -> DataFrame:
     """ONE Lloyd's iteration as a pure DataFrame plan (the unit the oracle

@@ -128,6 +128,40 @@ def test_ivf_assign_deterministic(spark):
     assert set(a1.values()) <= set(range(16))
 
 
+def test_ivf_topk_probed_cells_only_and_recall(spark):
+    """IVF search: results come only from the nprobe probed cells, ranks
+    are deterministic, and with nprobe == n_centroids recall equals the
+    brute-force top-k exactly."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus, queries = e.filter("vec_id >= 5"), e.filter("vec_id < 5")
+    cents = similarity.seeded_centroids(8, 64, 7)
+
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ivf_topk(corpus, queries, cents, k=3, nprobe=8).collect()
+    }
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.brute_force_topk(corpus, queries, k=3).collect()
+    }
+    assert full == brute  # all cells probed == exact
+
+    # nprobe=2: every returned neighbor must live in a probed cell
+    assigned = {
+        r.vec_id: r.centroid
+        for r in similarity.ivf_assign(corpus, centroids=cents).collect()
+    }
+    got = similarity.ivf_topk(corpus, queries, cents, k=3, nprobe=2).collect()
+    import numpy as np
+
+    C = np.array(cents)
+    qrows = {r.vec_id: np.array(r.embedding, dtype="float64") for r in queries.collect()}
+    for r in got:
+        qs = C @ qrows[r.query_id]
+        order = sorted(range(8), key=lambda i: (-qs[i], i))[:2]
+        assert assigned[r.neighbor_id] in order
+
+
 def test_kmeans_converges_and_separates_clusters(spark):
     """Lloyd's loop on three well-separated directional clusters: shifts
     must decrease to < tol before max_iterations, and the trained
