@@ -174,6 +174,50 @@ def test_connected_components_mixed_shapes(spark):
     assert comp["z1"] == comp["z2"] == "z1"
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized cross-check: star/small-star labels == a pure-Python
+    union-find on the same edges (seeded graphs incl. dense and sparse)."""
+    import random
+
+    for seed, n, m in [(1, 30, 15), (2, 40, 60), (3, 25, 24)]:
+        rng = random.Random(seed)
+        edges = [
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(m)
+        ]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        expected_groups = {}
+        for a, b in edges:
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            if a != b:
+                for v in (a, b):
+                    expected_groups[v] = find(v)
+        # canonical label = min member per component
+        roots = {}
+        for v, r in expected_groups.items():
+            roots.setdefault(r, set()).add(v)
+        expected = {v: min(g) for r, g in roots.items() for v in g}
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.vertex: r.component
+            for r in canon.connected_components(df).collect()
+        }
+        assert got == expected, f"seed={seed}"
+
+
 def test_sameas_edges_from_linking(spark):
     linked = spark.createDataFrame(
         [("california", "06"), ("ca", "06"), ("06", "06"), (None, "06")],
