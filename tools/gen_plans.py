@@ -82,7 +82,32 @@ def main():
     )
 
     spec = synth.corpus_spec()
-    core = extract_and_link(spark, synth.transcripts_df(spark, spec))
+
+    from smh_to_jsonld_spark.operators import extract as exmod
+
+    tr = synth.transcripts_df(spark, spec)
+    p_ext = plan_of(exmod.extract_mentions(tr))
+    p_spot = plan_of(exmod.spot_mentions(tr))
+    py_stages = sum(
+        p.count(marker)
+        for p in (p_ext, p_spot)
+        for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+    )
+    sections.append(
+        (
+            "Extraction is pure Catalyst — zero Python stages (r3)",
+            "Both transcript extractors (anchored CASE WHEN rlike + "
+            "regexp_extract; single-pass lookahead-guarded regexp_extract_all "
+            "+ explode) compile to Filter/Project/Generate with no "
+            "MapInPandas/ArrowEvalPython operator — the raw text never "
+            f"crosses into Python. Python-stage count across both plans: "
+            f"**{py_stages}**.",
+            keep(p_ext, ("Filter", "Project", "Scan")) + "\n--- spot_mentions ---\n"
+            + keep(p_spot, ("Generate", "Project", "Scan")),
+        )
+    )
+
+    core = extract_and_link(spark, tr)
     p = plan_of(core["facts"])
     sections.append(
         (
