@@ -89,6 +89,10 @@ def extract_and_link(spark: SparkSession, transcripts: DataFrame) -> dict:
     mentions = extract.extract_mentions(transcripts).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # NOTE (measured, r3): do NOT persist conv_dim/raw_facts here — caching
+    # the 1.2M-row fact structs costs more than the double execution it
+    # saves (16.9s -> 25.0s full-factory regression when tried); the
+    # mention cache plus whole-stage codegen re-derives them cheaply.
     conv_dim = extract.conversation_dim(mentions)
     raw_facts = extract.facts_from_mentions(mentions, conv_dim)
     facts = link.link_locations(raw_facts, spark).drop("location_surface")
