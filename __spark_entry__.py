@@ -346,6 +346,20 @@ def q_minhash_lsh_pairs(spark, sf):
     )
 
 
+def q_near_dup_clusters(spark, sf):
+    """dedup: near-dup CLUSTERING (verified MinHash pairs -> connected
+    components -> min-id representative). ORACLE-CHECKED: the pair set
+    equals the exact J>=0.8 set (see minhash_lsh_pairs), and the DuckDB
+    side recomputes components over those exact pairs with a recursive
+    reachability CTE plus singleton passthrough."""
+    from smh_to_jsonld_spark.operators import dedup
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return dedup.near_dup_clusters(
+        d, num_hashes=32, bands=16, shingle_n=1, threshold=0.8, max_bucket=500
+    )
+
+
 def q_simhash_neardup(spark, sf):
     """dedup: SimHash hamming near-dups. ORACLE-CHECKED: the signature is
     md5-low64-based (DuckDB md5_number_upper recomputes it exactly) and
@@ -621,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_stats": q_exact_dedup_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1056,6 +1071,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(shared / CAST(sa + sb - shared AS DOUBLE), 4) AS jaccard
             FROM p WHERE shared / CAST(sa + sb - shared AS DOUBLE) >= 0.8
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+              FROM documents WHERE doc_id < 300),
+            e AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS g FROM t),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+                     count(*) AS shared
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            pe AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              WHERE shared / CAST(sa + sb - shared AS DOUBLE) >= 0.8),
+            ud AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+            r AS (
+              SELECT v, v AS m FROM (SELECT a AS v FROM ud UNION SELECT b FROM ud)
+              UNION
+              SELECT ud.a AS v, r.m FROM ud JOIN r ON ud.b = r.v),
+            comp AS (SELECT v, min(m) AS cluster FROM r GROUP BY v)
+            SELECT d.doc_id,
+                   coalesce(c.cluster, d.doc_id) AS cluster,
+                   (d.doc_id = coalesce(c.cluster, d.doc_id)) AS is_representative
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+            LEFT JOIN comp c ON d.doc_id = c.v
         """,
         # SimHash: md5_number_upper == Spark's md5-low64 (first 8 digest
         # bytes, little-endian); 16-bit pigeonhole blocking is exact for

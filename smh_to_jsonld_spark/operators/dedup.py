@@ -442,6 +442,49 @@ def embedding_neardup_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 1,
+    threshold: float = 0.8,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Corpus-level near-dup CLUSTERING — the composite a training-data
+    dedup pass actually runs: verified MinHash pairs (minhash_lsh_pairs)
+    become same-as edges, connected components (large-star/small-star,
+    canon module) merge transitive near-dup chains, and each cluster
+    keeps its minimum doc id as the representative.
+
+    Ids are zero-padded before the (string-keyed) component fixpoint so
+    lexicographic min == numeric min; singleton docs (no near-dup) are
+    their own cluster. Returns (doc_id, cluster, is_representative) —
+    downstream dedup keeps ``is_representative``.
+    """
+    from smh_to_jsonld_spark.operators import canon
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n, threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+    edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
+    cc = canon.connected_components(edges)
+    all_ids = docs.select(pad(id_col).alias("vertex")).distinct()
+    return (
+        all_ids.join(cc, "vertex", "left")
+        .withColumn("cluster", F.coalesce("component", "vertex"))
+        .select(
+            F.col("vertex").cast("long").alias(id_col),
+            F.col("cluster").cast("long").alias("cluster"),
+            (F.col("vertex") == F.col("cluster")).alias("is_representative"),
+        )
+    )
+
+
 def bucket_stats(keyed: DataFrame, bucket_cols: list) -> DataFrame:
     """Bucket-size histogram for any blocked operator's key frame —
     the observability companion to ``max_bucket`` (call it to report

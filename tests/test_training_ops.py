@@ -57,6 +57,29 @@ def _simhash_reference(text: str) -> int:
     return int(np.sum(weights[acc > 0], dtype=np.uint64).astype(np.int64))
 
 
+def test_near_dup_clusters_transitive_and_singletons(spark):
+    """a~b and b~c but a!~c must still land in ONE cluster (transitive
+    merge via CC); unrelated docs are their own singleton representative."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "extra"),                      # ~ 1
+            (3, base + "extra words"),                # ~ 2 (and 1)
+            (9, "completely different content here entirely unrelated"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster, r.is_representative)
+        for r in dedup.near_dup_clusters(docs, threshold=0.7).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2][0] == 1 and not got[2][1]
+    assert got[3][0] == 1 and not got[3][1]
+    assert got[9] == (9, True)
+
+
 def test_simhash_identical_and_near(spark):
     df = _docs(spark, ["a b c d e f g h", "a b c d e f g h", "q r s t u v w x"])
     sigs = {r.id: r.sig for r in dedup.simhash_signatures(df).collect()}
