@@ -105,11 +105,96 @@ def fuzzy_candidates(
     return best.select("surface", "canonical", "score")
 
 
+def _minhash_band_keys(grams_col, num_hashes: int = 16, bands: int = 8):
+    """Banded MinHash keys over a token/trigram array column: h_i =
+    min(xxhash64(gram, i)), bands of r = num_hashes/bands rows hashed to
+    one key each. Returns an array<long> of band keys (seeded per band via
+    the hash index, so bands are independent)."""
+    r = num_hashes // bands
+
+    def _seeded(seed: int):
+        # helper factory, NOT a default-arg lambda: PySpark binds a
+        # 2-param HOF lambda as (element, index)
+        return lambda g: F.xxhash64(g, F.lit(seed))
+
+    hashes = [
+        F.array_min(F.transform(grams_col, _seeded(i))) for i in range(num_hashes)
+    ]
+    return F.array(
+        *[
+            F.xxhash64(F.lit(b), *hashes[b * r : (b + 1) * r])
+            for b in range(bands)
+        ]
+    )
+
+
+def fuzzy_candidates_minhash(
+    misses: DataFrame,
+    alias_dim: DataFrame,
+    surface_col: str = "surface",
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash-blocked fuzzy matching — the OTHER blocking family the
+    north_star names ("MinHash/token-prefix blocking"). Prefix blocking
+    misses first-char typos ('kalifornia'); banded MinHash over trigram
+    sets blocks by CONTENT similarity instead: with 16 hashes / 8 bands
+    (r=2) a J=0.5 pair shares a band with prob 1-(1-0.25)^8 ~ 0.90, at
+    any edit position.
+
+    Same scoring and deterministic top-1 tie-break as the prefix path
+    (exact trigram Jaccard; score desc, alias asc) — only candidate
+    GENERATION differs: explode band keys on both sides, equi-join on
+    (band key), dedup pairs. The dictionary side stays broadcast-sized.
+    """
+    left = (
+        misses.select(normalize_surface(F.col(surface_col)).alias("surface"))
+        .distinct()
+        .withColumn("grams", _trigrams(F.col("surface")))
+        .withColumn("bk", _minhash_band_keys(F.col("grams"), num_hashes, bands))
+        .select("surface", "grams", F.explode("bk").alias("bk"))
+    )
+    right = (
+        alias_dim.select("alias", "canonical")
+        .withColumn("agrams", _trigrams(F.col("alias")))
+        .withColumn("bk", _minhash_band_keys(F.col("agrams"), num_hashes, bands))
+        .select("alias", "canonical", "agrams", F.explode("bk").alias("bk"))
+    )
+    cand = (
+        left.join(F.broadcast(right), "bk")
+        .select("surface", "grams", "alias", "canonical", "agrams")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "score",
+        F.size(F.array_intersect("grams", "agrams"))
+        / F.size(F.array_union("grams", "agrams")),
+    ).filter(F.col("score") >= min_jaccard)
+    from smh_to_jsonld_spark.operators.aggregates import top1_per_group
+
+    best = top1_per_group(
+        scored.select("surface", "canonical", "score", "alias").withColumn(
+            "__ord", F.struct((F.lit(0) - F.col("score")).alias("s"), F.col("alias"))
+        ),
+        ["surface"],
+        "__ord",
+        desc=False,
+    )
+    return best.select("surface", "canonical", "score")
+
+
 def link_locations(
-    facts: DataFrame, spark: SparkSession, surface_col: str = "location_surface"
+    facts: DataFrame, spark: SparkSession, surface_col: str = "location_surface",
+    fuzzy_blocking: str = "prefix",
 ) -> DataFrame:
     """Full linking pass: exact broadcast dictionary + fuzzy for residual
     surfaces, surface-form passthrough for true misses. Adds `location`.
+
+    ``fuzzy_blocking``: candidate-generation family for the fuzzy pass —
+    "prefix" (token-prefix equi-join, the default; oracle-pinned) or
+    "minhash" (banded MinHash over trigram sets — robust to first-char
+    typos). Scoring and tie-breaks are identical either way.
 
     Single-consumption design: the fact table is scanned once to collect
     the DISTINCT surface vocabulary (partial-agg shuffle of a tiny set),
@@ -127,7 +212,11 @@ def link_locations(
     misses = surfaces.join(
         F.broadcast(dim.select(F.col("alias").alias("surface"))), "surface", "left_anti"
     )
-    fuzzy = fuzzy_candidates(misses, dim).select(
+    fuzzy_fn = {
+        "prefix": fuzzy_candidates,
+        "minhash": fuzzy_candidates_minhash,
+    }[fuzzy_blocking]
+    fuzzy = fuzzy_fn(misses, dim).select(
         F.col("surface").alias("__norm"), F.col("canonical")
     )
     mapping = dim.select(F.col("alias").alias("__norm"), F.col("canonical")).unionByName(

@@ -100,6 +100,30 @@ def test_link_exact_and_fuzzy(spark):
     assert got["06037"] == "06037"
 
 
+def test_link_minhash_blocking(spark):
+    """MinHash-banded candidate generation (the north-star's other
+    blocking family): agrees with prefix blocking on ordinary typos AND
+    catches a FIRST-char typo the prefix block structurally misses."""
+    facts = spark.createDataFrame(
+        [("Californa",), ("kalifornia",), ("Texas",), ("zzzz",)],
+        "location_surface string",
+    )
+    mh = {
+        r.location_surface: r.location
+        for r in link.link_locations(facts, spark, fuzzy_blocking="minhash").collect()
+    }
+    assert mh["Californa"] == "06"     # same answer as prefix blocking
+    assert mh["Texas"] == "48"          # exact path unaffected
+    assert mh["kalifornia"] == "06"    # first-char typo: minhash-only catch
+    assert mh["zzzz"] == "zzzz"         # true miss passes through
+
+    pf = {
+        r.location_surface: r.location
+        for r in link.link_locations(facts, spark, fuzzy_blocking="prefix").collect()
+    }
+    assert pf["kalifornia"] == "kalifornia"  # prefix block can't see it
+
+
 def test_salted_collect_set_matches_plain(spark):
     df = spark.range(0, 5000).select(
         (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v")
