@@ -66,6 +66,37 @@ def test_resumable_job_and_snapshots(spark, spec, tmp_path):
     assert sB["cc_fixpoint_edges"] <= sB["cc_pending_edges"]
 
 
+def test_entities_memo_self_heal(spark, spec, tmp_path):
+    """The linking/CC memo tables are CACHES: losing them between commits
+    (crash after partial write, manual cleanup) must not change the
+    entities table — pending work is re-derived from all-links minus
+    labeled-vertices, so a resume commit rebuilds what's missing."""
+    import shutil
+
+    tr = synth.transcripts_df(spark, spec)
+    tm = synth.target_metadata_df(spark, spec)
+    dz = synth.diseases_df(spark, spec)
+
+    io_ref = TableIO(str(tmp_path / "wh_ref"))
+    run_resumable_kg_job(spark, tr, tm, dz, io_ref)
+    key = lambda io: {
+        (r.iri, r.canonical, tuple(r.surfaces), r.n_mentions)
+        for r in io.read(spark, "entities").collect()
+    }
+    expected = key(io_ref)
+
+    io = TableIO(str(tmp_path / "wh_heal"))
+    r1_convs = [f"conv-2031-01-05-{m['model_name']}" for m in spec["rounds"][0]["models"]]
+    run_resumable_kg_job(spark, tr.filter(F.col("conv_id").isin(r1_convs)), tm, dz, io)
+    # lose BOTH memo tables between commits
+    shutil.rmtree(io.table_path("entity_components"))
+    shutil.rmtree(io.table_path("surface_links"))
+    m = run_resumable_kg_job(spark, tr, tm, dz, io)
+    assert key(io) == expected
+    # with the link memo gone, every surface re-links (healed, not skipped)
+    assert m["metrics"]["entities"]["new_surfaces"] == m["metrics"]["entities"]["n_surfaces"]
+
+
 def test_tableio_snapshot_log(spark, tmp_path):
     io = TableIO(str(tmp_path / "wh"))
     df = spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p"))
