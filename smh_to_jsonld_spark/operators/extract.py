@@ -389,14 +389,19 @@ def metadata_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFram
     # model doc per conversation: hasPart explodes and the consolidated
     # doc goes quadratic. The fixture corpus (1 conv per model) never
     # exposed it.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("round_id", "model_name").orderBy("conv_id")
+    #
+    # Winner selection is a partial-aggregatable min + broadcast semi-join,
+    # NOT a row_number window: a window partitioned by (round, model)
+    # funnels EVERY conversation of a model through one reducer — the
+    # classic hot-key skew at 10^9 conversations x 10^2 models — while
+    # min(conv_id) combines map-side and the winner set is models-sized.
+    winners = conv_dim.groupBy("round_id", "model_name").agg(
+        F.min("conv_id").alias("conv_id")
+    )
     per_conv = (
-        conv_dim.join(kv_wide, "conv_id", "left")
+        conv_dim.join(F.broadcast(winners.select("conv_id")), "conv_id", "left_semi")
+        .join(kv_wide, "conv_id", "left")
         .join(contribs, "conv_id", "left")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
     )
     return (
         per_conv
