@@ -237,7 +237,7 @@ def _spot_combined_pattern() -> str:
     return r"\b(?=[" + cls + r"])(" + "|".join(branches) + r")\b"
 
 
-def spot_mentions(transcripts: DataFrame) -> DataFrame:
+def spot_mentions(transcripts: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Unanchored dictionary mention spotting over the FULL text of every
     turn: location entities, concept vocabulary, ISO dates — one row per
     occurrence. This is the hot scan at transcript scale (every byte of
@@ -250,7 +250,11 @@ def spot_mentions(transcripts: DataFrame) -> DataFrame:
     entity) — no Arrow transfer of the raw text, and the text is scanned
     once instead of once per dictionary. The pandas variant
     (``spot_mentions_pandas``) is the semantic reference;
-    ``test_extract_jvm_matches_pandas`` pins bag equality."""
+    ``test_extract_jvm_matches_pandas`` pins bag equality.
+
+    ``passthrough``: extra input columns carried onto every emitted
+    mention row (e.g. ``("ts",)`` so a streaming consumer can window on
+    event time). Stateless, so the operator is stream-safe as-is."""
     terms = F.regexp_extract_all(
         F.col("text"), F.lit(_spot_combined_pattern()), F.lit(1)
     )
@@ -260,9 +264,12 @@ def spot_mentions(transcripts: DataFrame) -> DataFrame:
         .when(F.array_contains(concept_lits, F.col("term")), F.lit("concept"))
         .otherwise(F.lit("entity"))
     )
+    extra = list(passthrough)
     return (
-        transcripts.select("conv_id", "turn_idx", F.explode(terms).alias("term"))
-        .select("conv_id", "turn_idx", kind.alias("kind"), "term")
+        transcripts.select(
+            "conv_id", "turn_idx", *extra, F.explode(terms).alias("term")
+        )
+        .select("conv_id", "turn_idx", *extra, kind.alias("kind"), "term")
     )
 
 

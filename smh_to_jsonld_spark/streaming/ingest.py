@@ -13,6 +13,10 @@ Ops included:
                               watermarked late-data handling
 - ``dedup_stream``            dropDuplicatesWithinWatermark on
                               (conv_id, turn_idx)
+- ``mention_stream``          the batch extraction run incrementally
+- ``linked_entity_counts_stream``  spot -> broadcast-link -> windowed
+                              per-entity counts (speed layer)
+- ``conversation_sessions``   applyInPandasWithState sessionization
 - ``run_available_now``       drain-everything micro-batch into parquet
 """
 
@@ -129,7 +133,7 @@ def run_available_now(
 
 
 def mention_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Incremental front end of the triple factory: the SAME Arrow-batched
+    """Incremental front end of the triple factory: the SAME Catalyst
     extraction (operators.extract.extract_mentions) applied to a
     watermark-deduplicated turn stream. Landing these mention rows in the
     bronze layout means the batch job's extraction cost is already paid
@@ -138,3 +142,43 @@ def mention_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     from smh_to_jsonld_spark.operators.extract import extract_mentions
 
     return extract_mentions(dedup_stream(stream, watermark))
+
+
+def linked_entity_counts_stream(
+    stream: DataFrame, spark: SparkSession, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming entity linking: free-text mention spotting
+    (operators.extract.spot_mentions — stateless Catalyst, stream-safe,
+    with ``ts`` passed through) -> normalize -> resolve through the exact
+    alias dictionary (a static broadcast DataFrame; stream-static joins
+    are natively supported) -> tumbling 1-day windowed counts per
+    canonical entity with watermarked late-data handling.
+
+    The fuzzy pass is deliberately absent on the hot stream: unresolved
+    surfaces pass through as themselves, and the BATCH job's memoized
+    linking (plans.job.rebuild_entities) upgrades them at the next commit
+    — the classic speed-layer / batch-layer split."""
+    from smh_to_jsonld_spark.functions.dims import alias_dim
+    from smh_to_jsonld_spark.operators import link as linkops
+    from smh_to_jsonld_spark.operators.extract import spot_mentions
+
+    spotted = spot_mentions(
+        stream.withWatermark("ts", watermark), passthrough=("ts",)
+    ).filter(F.col("kind") == "entity")
+    dim = alias_dim(spark).select(
+        F.col("alias").alias("__norm"), F.col("canonical")
+    )
+    linked = (
+        spotted.withColumn("__norm", linkops.normalize_surface(F.col("term")))
+        .join(F.broadcast(dim), "__norm", "left")
+        .withColumn("entity", F.coalesce(F.col("canonical"), F.col("__norm")))
+    )
+    return (
+        linked.groupBy(F.window("ts", "1 day").alias("w"), "entity")
+        .agg(F.count("*").alias("n_mentions"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "entity",
+            "n_mentions",
+        )
+    )

@@ -129,6 +129,54 @@ def test_streaming_ingestion_available_now(spark, spec, tmp_path):
     assert sum(r.n_mentions for r in rows) > 0
 
 
+def test_streaming_linked_entity_counts(spark, spec, tmp_path):
+    """Speed-layer linking: streamed per-entity windowed counts must equal
+    the batch spot->exact-link->count over the same input (fuzzy pass
+    excluded on both sides)."""
+    from smh_to_jsonld_spark.functions.dims import alias_dim
+    from smh_to_jsonld_spark.operators import extract, link as linkops
+    from smh_to_jsonld_spark.streaming import ingest
+
+    src = str(tmp_path / "in")
+    tr = synth.transcripts_df(spark, spec)
+    tr.write.parquet(src)
+
+    # complete-mode memory sink: a parquet append sink would (correctly)
+    # withhold the trailing windows the watermark never passes once the
+    # bounded test input drains — here we want the full counts to compare
+    q = (
+        ingest.linked_entity_counts_stream(
+            ingest.read_transcript_stream(spark, src), spark
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("lec")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.day, r.entity): r.n_mentions
+        for r in spark.sql("SELECT * FROM lec").collect()
+    }
+
+    dim = alias_dim(spark).select(F.col("alias").alias("__norm"), "canonical")
+    batch_rows = (
+        extract.spot_mentions(tr, passthrough=("ts",))
+        .filter(F.col("kind") == "entity")
+        .withColumn("__norm", linkops.normalize_surface(F.col("term")))
+        .join(F.broadcast(dim), "__norm", "left")
+        .withColumn("entity", F.coalesce("canonical", "__norm"))
+        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                 "entity")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    batch = {(r.day, r.entity): r.n for r in batch_rows}
+    assert streamed == batch and streamed
+
+
 def test_stateful_conversation_sessions(spark, spec, tmp_path):
     """applyInPandasWithState sessionization over the file stream."""
     from smh_to_jsonld_spark.streaming import ingest
