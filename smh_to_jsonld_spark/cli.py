@@ -49,6 +49,14 @@ def main(argv=None):
         " only reports (reference pipeline/clean_output.py)",
     )
     p.add_argument("--dry-run", action="store_true")
+    p.add_argument(
+        "--fuzzy-blocking",
+        choices=["prefix", "minhash"],
+        default="prefix",
+        help="candidate-generation family for fuzzy entity linking (keep"
+        " constant per warehouse — the linking memo caches per-surface"
+        " answers)",
+    )
     args = p.parse_args(argv)
 
     if args.clean is not None:
@@ -106,6 +114,7 @@ def main(argv=None):
         diseases,
         io,
         lineage_note=lineage,
+        fuzzy_blocking=args.fuzzy_blocking,
     )
     print(json.dumps(manifest, indent=1))
     return 0

@@ -60,6 +60,7 @@ def run_resumable_kg_job(
     diseases: DataFrame,
     io: TableIO,
     lineage_note: str = "",
+    fuzzy_blocking: str = "prefix",
 ) -> dict:
     """Process all uncommitted rounds; returns the committed manifest
     (or {'skipped': ...} when nothing to do)."""
@@ -79,7 +80,8 @@ def run_resumable_kg_job(
     from pyspark.storagelevel import StorageLevel
 
     result = kg_pipeline_from_transcripts(
-        spark, subset, target_meta, diseases, include_entities=False
+        spark, subset, target_meta, diseases, include_entities=False,
+        fuzzy_blocking=fuzzy_blocking,
     )
     lineage = {"input": lineage_note or "transcripts", "rounds": todo}
 
@@ -136,7 +138,8 @@ def run_resumable_kg_job(
     # rollup is rebuilt from ALL committed partitions — with linking and
     # the CC fixpoint memoized so only NEW surface forms pay for them.
     entity_stats = rebuild_entities(
-        spark, io, result["spotted"], conv_round, lineage
+        spark, io, result["spotted"], conv_round, lineage,
+        fuzzy_blocking=fuzzy_blocking,
     )
 
     # node/edge KG materialization (north_rule: "materializing node/edge
@@ -182,6 +185,7 @@ def rebuild_entities(
     spotted: DataFrame,
     conv_round: DataFrame,
     lineage: dict,
+    fuzzy_blocking: str = "prefix",
 ) -> dict:
     """Cross-round-correct, incrementally-maintained entity table.
 
@@ -210,6 +214,11 @@ def rebuild_entities(
       under leaf filtering, so membership — and hence the member-set-hash
       IRI — matches exactly what a from-scratch CC over the active
       vocabulary would produce.
+
+    ``fuzzy_blocking`` must stay constant across a warehouse's commits:
+    the surface_links memo caches per-surface answers, so switching the
+    blocking family requires deleting surface_links/entity_components
+    (they self-heal on the next commit).
 
     Returns stats {n_surfaces, new_surfaces, cc_pending_edges,
     cc_fixpoint_edges, n_entities} (recorded in the snapshot manifests; the
@@ -249,7 +258,7 @@ def rebuild_entities(
         known_links = None
         new_counts = counts
     new_links = (
-        link_surface_counts(spark, new_counts)
+        link_surface_counts(spark, new_counts, fuzzy_blocking=fuzzy_blocking)
         .select("surface", "canonical")
         .localCheckpoint(eager=True)
     )

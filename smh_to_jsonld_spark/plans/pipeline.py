@@ -74,7 +74,9 @@ def hub_pipeline_from_frames(
     }
 
 
-def extract_and_link(spark: SparkSession, transcripts: DataFrame) -> dict:
+def extract_and_link(
+    spark: SparkSession, transcripts: DataFrame, fuzzy_blocking: str = "prefix"
+) -> dict:
     """Extraction + linking core, shared by the full pipeline and the
     benchmarks.
 
@@ -95,7 +97,9 @@ def extract_and_link(spark: SparkSession, transcripts: DataFrame) -> dict:
     # mention cache plus whole-stage codegen re-derives them cheaply.
     conv_dim = extract.conversation_dim(mentions)
     raw_facts = extract.facts_from_mentions(mentions, conv_dim)
-    facts = link.link_locations(raw_facts, spark).drop("location_surface")
+    facts = link.link_locations(
+        raw_facts, spark, fuzzy_blocking=fuzzy_blocking
+    ).drop("location_surface")
     spotted = extract.spot_mentions(transcripts)  # single consumer, unpersisted
     return {"mentions": mentions, "conv_dim": conv_dim, "facts": facts,
             "spotted": spotted}
@@ -108,6 +112,7 @@ def kg_pipeline_from_transcripts(
     diseases: DataFrame,
     dialect: str = "v6",
     include_entities: bool = False,
+    fuzzy_blocking: str = "prefix",
 ) -> dict:
     """The full triple factory over the authoritative input table
     (conv_id, turn_idx, role, text, tool, ts):
@@ -122,7 +127,7 @@ def kg_pipeline_from_transcripts(
     target_meta / diseases are config dims (the reference's tasks.json),
     broadcast-sized by construction.
     """
-    core = extract_and_link(spark, transcripts)
+    core = extract_and_link(spark, transcripts, fuzzy_blocking=fuzzy_blocking)
     mentions, conv_dim, facts = core["mentions"], core["conv_dim"], core["facts"]
 
     metadata = extract.metadata_from_mentions(mentions, conv_dim)
@@ -142,7 +147,9 @@ def kg_pipeline_from_transcripts(
     return result
 
 
-def link_surface_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+def link_surface_counts(
+    spark: SparkSession, counts: DataFrame, fuzzy_blocking: str = "prefix"
+) -> DataFrame:
     """(surface, count) -> (surface, canonical, count): exact + fuzzy alias
     resolution over the distinct surface vocabulary (link.link_locations).
     Linking is per-surface deterministic (fixed dictionary, total-order
@@ -150,7 +157,8 @@ def link_surface_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
     from smh_to_jsonld_spark.operators import link
 
     return link.link_locations(
-        counts.withColumnRenamed("surface", "location_surface"), spark
+        counts.withColumnRenamed("surface", "location_surface"), spark,
+        fuzzy_blocking=fuzzy_blocking,
     ).select(
         F.col("location_surface").alias("surface"),
         F.col("location").alias("canonical"),
