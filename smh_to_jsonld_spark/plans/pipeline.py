@@ -7,8 +7,8 @@ doc assembly -> consolidation -> triple flattening. One SparkSession, no
 per-round subprocesses; round fan-out is partition parallelism.
 
 ``kg_pipeline_from_transcripts`` is the generalized triple factory
-(BASELINE.json north_star): transcripts -> pattern extraction (Arrow UDF)
--> entity linking -> reconstructed fact/metadata frames -> the SAME hub
+(BASELINE.json north_star): transcripts -> pattern extraction (pure
+Catalyst since r3; Arrow reference variants retained) -> entity linking -> reconstructed fact/metadata frames -> the SAME hub
 pipeline -> JSON-LD + triples.
 """
 
@@ -81,7 +81,7 @@ def extract_and_link(
     benchmarks.
 
     `mentions` is persisted (MEMORY_AND_DISK): it feeds four consumers
-    (conv_dim, metadata, files, facts) — without the persist the Arrow
+    (conv_dim, metadata, files, facts) — without the persist the
     extraction pass would re-run per consumer branch. At cluster scale the
     same applies; for 10^12 turns persist to a staging table instead
     (TableIO.write) and read back.
@@ -117,7 +117,7 @@ def kg_pipeline_from_transcripts(
     """The full triple factory over the authoritative input table
     (conv_id, turn_idx, role, text, tool, ts):
 
-    1. extract   — Arrow-batched pattern extraction -> mention rows
+    1. extract   — Catalyst regexp pattern extraction -> mention rows
     2. link      — broadcast alias dict + blocked fuzzy matching resolves
                    location surface forms to canonical FIPS
     3. rebuild   — metadata / facts / files frames from mentions
