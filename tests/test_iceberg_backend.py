@@ -40,7 +40,9 @@ def test_iceberg_roundtrip(spark, spec, tmp_path):
     assert back.count() == tr.count()
 
     io = IcebergTableIO(str(tmp_path / "wh"))
+    assert not io.exists(spark, "t1")
     io.write(tr.limit(10), "t1", partition_by=["conv_id"],
              mode="overwrite_partitions", metrics={"partitions": {"x": 10}})
+    assert io.exists(spark, "t1")
     assert io.read(spark, "t1").count() == 10
     assert io.completed_partitions("t1") == {"x"}
