@@ -148,6 +148,35 @@ class TableIO:
         return done
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list,
+    num_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Bucketed staging table — the parquet-backend analog of the Iceberg
+    DDL's ``bucket(64, conv_id)`` (create_transcript_table below): rows
+    are hash-bucketed into ``num_buckets`` files per partition and the
+    layout is recorded in the session catalog, so joins/aggregations
+    between tables bucketed the same way need NO shuffle exchange — the
+    co-located-join strategy for the repeatedly-joined staging tables
+    (mentions x conv_dim at 10^12 turns). Overwrites any prior table of
+    the same name. ``path`` makes it external (defaults to the session
+    warehouse dir)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+
+
 # ---------------------------------------------------------------------------
 # Iceberg backend — the production target (north_rule: "Iceberg transcript
 # tables at 10^12-turn scale"). The runtime jar is not fetchable in this

@@ -47,3 +47,37 @@ def test_input_file_name_filter(spark, tmp_path):
     )
     only_r1 = df.filter(F.col("src").contains("2031-01-05"))
     assert only_r1.count() == 10
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed identically on the join key
+    must SortMergeJoin straight off the bucketed scans — zero shuffle
+    exchanges in the plan (the 10^12-turn strategy for mentions x
+    conv_dim; mirrors the Iceberg DDL's bucket(64, conv_id))."""
+    from smh_to_jsonld_spark.sources.tables import write_bucketed_table
+
+    a = spark.range(0, 10000).select(
+        F.concat(F.lit("c"), (F.col("id") % 500).cast("string")).alias("conv_id"),
+        F.col("id").alias("x"),
+    )
+    b = spark.range(0, 5000).select(
+        F.concat(F.lit("c"), (F.col("id") % 500).cast("string")).alias("conv_id"),
+        F.col("id").alias("y"),
+    )
+    write_bucketed_table(a, "bk_a", ["conv_id"], 8, path=str(tmp_path / "a"))
+    write_bucketed_table(b, "bk_b", ["conv_id"], 8, path=str(tmp_path / "b"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "conv_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketed scans co-locate the keys
+        # correctness unchanged by the layout
+        expected = a.join(b, "conv_id").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
