@@ -79,6 +79,18 @@ def test_near_dup_clusters_transitive_and_singletons(spark):
     assert got[3][0] == 1 and not got[3][1]
     assert got[9] == (9, True)
 
+    # zero-padding guard: cluster of {9, 10} must label 9 (numeric min),
+    # not 10 (the unpadded lexicographic min, since "10" < "9")
+    other = "completely different content here entirely unrelated words " * 3
+    docs2 = spark.createDataFrame(
+        [(9, other), (10, other + "tail")], "doc_id long, text string"
+    )
+    got2 = {
+        r.doc_id: (r.cluster, r.is_representative)
+        for r in dedup.near_dup_clusters(docs2, threshold=0.7).collect()
+    }
+    assert got2[9] == (9, True) and got2[10] == (9, False)
+
 
 def test_simhash_identical_and_near(spark):
     df = _docs(spark, ["a b c d e f g h", "a b c d e f g h", "q r s t u v w x"])
