@@ -55,10 +55,27 @@ def load_subword_vocab() -> tuple:
     return tuple(t for t in p.read_text().splitlines() if t.strip())
 
 
-def subword_count_word(word: str, vocab: frozenset, max_len: int) -> int:
-    """Greedy longest-prefix-match segment count for one word — the
+def subword_segment_word(word: str, vocab: frozenset, max_len: int) -> list:
+    """Greedy longest-prefix-match segmentation of one word — the
     WordPiece/BPE *inference* rule (maximal munch); an out-of-vocabulary
-    char consumes itself as one UNK token."""
+    char consumes itself as one UNK token. The pieces always concatenate
+    back to the word (property-tested)."""
+    i, n, out = 0, len(word), []
+    while i < n:
+        for ln in range(min(max_len, n - i), 0, -1):
+            if word[i : i + ln] in vocab:
+                out.append(word[i : i + ln])
+                i += ln
+                break
+        else:
+            out.append(word[i])
+            i += 1
+    return out
+
+
+def subword_count_word(word: str, vocab: frozenset, max_len: int) -> int:
+    """Segment count of :func:`subword_segment_word` without building the
+    list (the hot-path form used inside the pandas UDF)."""
     i, n, c = 0, len(word), 0
     while i < n:
         for ln in range(min(max_len, n - i), 0, -1):

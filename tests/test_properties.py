@@ -68,3 +68,33 @@ def test_flat_docs_emit_one_triple_per_non_null_key(doc):
     keys = [k for k in doc if k != "@id"]
     assert len(triples) == len(keys)
     assert {t[1] for t in triples} == set(keys)
+
+
+@given(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=0, max_size=40)
+)
+@settings(max_examples=300, deadline=None)
+def test_subword_segmentation_invariants(word):
+    """Maximal-munch invariants on arbitrary [a-z0-9] words: the pieces
+    are a PARTITION of the word (concat reconstructs it exactly), every
+    piece is a vocab token or a single UNK char, the count helper agrees
+    with the segmenter, and greediness holds (each piece is the longest
+    vocab prefix at its position)."""
+    from smh_to_jsonld_spark.operators.textstats import (
+        load_subword_vocab,
+        subword_count_word,
+        subword_segment_word,
+    )
+
+    vocab = frozenset(load_subword_vocab())
+    ml = max(map(len, vocab))
+    pieces = subword_segment_word(word, vocab, ml)
+    assert "".join(pieces) == word
+    assert subword_count_word(word, vocab, ml) == len(pieces)
+    pos = 0
+    for p in pieces:
+        assert p in vocab or len(p) == 1
+        # greediness: no LONGER vocab token starts at this position
+        for ln in range(len(p) + 1, min(ml, len(word) - pos) + 1):
+            assert word[pos : pos + ln] not in vocab
+        pos += len(p)
