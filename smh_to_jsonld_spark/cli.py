@@ -50,6 +50,14 @@ def main(argv=None):
     )
     p.add_argument("--dry-run", action="store_true")
     p.add_argument(
+        "--dialect",
+        choices=["v6", "v5"],
+        default=None,
+        help="hubverse schema dialect for JSON-LD emission; default: sniff"
+        " from --tasks-config when given (sources.config.dialect_of),"
+        " else v6",
+    )
+    p.add_argument(
         "--fuzzy-blocking",
         choices=["prefix", "minhash"],
         default="prefix",
@@ -96,15 +104,22 @@ def main(argv=None):
         transcripts = spark.read.parquet(args.transcripts)
         lineage = args.transcripts
 
+    dialect = args.dialect
     if args.tasks_config:
         from smh_to_jsonld_spark.sources import config as cfg
 
         parsed = cfg.parse_tasks_config(args.tasks_config)
         target_meta = cfg.target_metadata_df(spark, parsed)
         diseases = cfg.diseases_df(spark, parsed)
+        if dialect is None:
+            # the reference sniffs the schema version from tasks.json
+            # (run_pipeline.py:256-271) — same dispatch here
+            dialect = parsed["dialect"]
     else:
         target_meta = synth.target_metadata_df(spark, spec)
         diseases = synth.diseases_df(spark, spec)
+    dialect = dialect or "v6"
+
 
     io = TableIO(args.output)
     manifest = run_resumable_kg_job(
@@ -115,6 +130,7 @@ def main(argv=None):
         io,
         lineage_note=lineage,
         fuzzy_blocking=args.fuzzy_blocking,
+        dialect=dialect,
     )
     print(json.dumps(manifest, indent=1))
     return 0

@@ -61,6 +61,7 @@ def run_resumable_kg_job(
     io: TableIO,
     lineage_note: str = "",
     fuzzy_blocking: str = "prefix",
+    dialect: str = "v6",
 ) -> dict:
     """Process all uncommitted rounds; returns the committed manifest
     (or {'skipped': ...} when nothing to do)."""
@@ -80,8 +81,8 @@ def run_resumable_kg_job(
     from pyspark.storagelevel import StorageLevel
 
     result = kg_pipeline_from_transcripts(
-        spark, subset, target_meta, diseases, include_entities=False,
-        fuzzy_blocking=fuzzy_blocking,
+        spark, subset, target_meta, diseases, dialect=dialect,
+        include_entities=False, fuzzy_blocking=fuzzy_blocking,
     )
     lineage = {"input": lineage_note or "transcripts", "rounds": todo}
 

@@ -53,3 +53,31 @@ def test_cli_clean_dry_run_and_delete(tmp_path):
                    "--clean", "2031-01-05"])
     assert rc == 0 and not (out / "round_2031-01-05.jsonld").exists()
     assert not (out / "2031-01-05").exists()
+
+
+def test_cli_dialect_sniffed_from_tasks_config(spark, spec, tmp_path):
+    """--tasks-config with a 5.x schema_version must dispatch the v5
+    emission rules without an explicit --dialect (the reference's
+    run_pipeline version sniffing)."""
+    sys.path.insert(0, "tools")
+    from gen_reference_fixture import tasks_json_for_round
+
+    src = str(tmp_path / "real.parquet")
+    synth.transcripts_df(spark, spec).write.parquet(src)
+    tasks = {
+        "schema_version": "https://example.org/v5.1.0/tasks-schema.json",
+        "rounds": [tasks_json_for_round(r, "5.1.0")["rounds"][0] for r in spec["rounds"]],
+    }
+    cfg_path = tmp_path / "tasks5.json"
+    cfg_path.write_text(json.dumps(tasks))
+
+    rc = cli.main([
+        "--transcripts", src,
+        "--tasks-config", str(cfg_path),
+        "--output", str(tmp_path / "out5"),
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(str(tmp_path / "out5" / "model_docs"))
+    doc = json.loads(docs.first().doc_json)
+    # v5 dialect marker: model docs carry no alternateName (v6-only field)
+    assert "alternateName" not in doc
