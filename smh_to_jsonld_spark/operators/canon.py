@@ -32,6 +32,13 @@ def connected_components(
     """Return (vertex, component) where component = min vertex id in the
     connected component (undirected).
 
+    ORDERING CONTRACT: vertices are compared as STRINGS (ids are cast on
+    entry), so "min" is the lexicographic min — '10' < '9'. Callers with
+    numeric ids must zero-pad to a fixed width first if they rely on
+    component == numeric min (``near_dup_clusters`` pads to 19 digits;
+    the entity-linking surfaces are natural strings, where lexicographic
+    min is the intended deterministic representative).
+
     Algorithm: alternating large-star / small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14 — public
     literature), which converges in O(log n) rounds on ANY graph shape,
@@ -71,6 +78,7 @@ def connected_components(
 
     n_edges = e.count()
     iterations = 0
+    converged = n_edges == 0
     for _ in range(max_iterations):
         if n_edges == 0:
             break
@@ -111,10 +119,28 @@ def connected_components(
             break
     if stats is not None:
         stats["iterations"] = iterations
+        stats["converged"] = converged
 
     # fixed point: e is the star set (vertex -> component min); roots and
     # isolated-in-input vertices label themselves
     comp = e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+    if not converged:
+        # max_iterations exhausted before the star fixpoint: a vertex may
+        # still point at multiple targets, which would silently emit
+        # conflicting (vertex, component) rows. Warn loudly and collapse
+        # to one deterministic label per vertex (min target — labels may
+        # then be component-LOCAL minima, not global; callers needing the
+        # exact fixpoint should raise max_iterations).
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iterations} "
+            "iterations; labels deduped to per-vertex min and may not be "
+            "global component minima — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        comp = comp.groupBy("vertex").agg(F.min("component").alias("component"))
     roots = vertices.join(comp.select("vertex"), "vertex", "left_anti").select(
         "vertex", F.col("vertex").alias("component")
     )

@@ -458,8 +458,12 @@ def near_dup_clusters(
     canon module) merge transitive near-dup chains, and each cluster
     keeps its minimum doc id as the representative.
 
-    Ids are zero-padded before the (string-keyed) component fixpoint so
-    lexicographic min == numeric min; singleton docs (no near-dup) are
+    Ids are zero-padded to 19 digits (the max signed-long width — lpad
+    would silently TRUNCATE longer ids, corrupting cluster membership)
+    before the (string-keyed) component fixpoint so lexicographic min ==
+    numeric min; negative ids would break that invariant and are rejected
+    with a distributed fail-fast (raise_error inside the pad expression —
+    no extra pass over the corpus). Singleton docs (no near-dup) are
     their own cluster. Returns (doc_id, cluster, is_representative) —
     downstream dedup keeps ``is_representative``.
     """
@@ -470,7 +474,18 @@ def near_dup_clusters(
         bands=bands, shingle_n=shingle_n, threshold=threshold,
         max_bucket=max_bucket,
     )
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")
+
+    def pad(c):
+        col = F.col(c).cast("long")
+        return F.when(
+            col < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("near_dup_clusters requires non-negative ids; got "),
+                    col.cast("string"),
+                )
+            ).cast("string"),
+        ).otherwise(F.format_string("%019d", col))
     edges = pairs.select(pad("id_a").alias("src"), pad("id_b").alias("dst"))
     cc = canon.connected_components(edges)
     all_ids = docs.select(pad(id_col).alias("vertex")).distinct()

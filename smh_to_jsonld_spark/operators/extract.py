@@ -230,10 +230,29 @@ def _spot_combined_pattern() -> str:
     import re as _re
 
     names = sorted({n for _, _, n in fips_rows()}, key=len, reverse=True)
-    assert not (set(names) & _CONCEPT_TERMS), "dictionaries must be disjoint"
+    # Single-scan equivalence needs more than exact-term disjointness: a
+    # term of one dictionary appearing INSIDE (or as a prefix of) a term
+    # of another would let the combined left-to-right scan consume text a
+    # per-dictionary scan would have matched differently. Assert the
+    # strong form: no cross-dictionary substring containment, no digits
+    # in entity/concept terms (digits are the date dictionary's alphabet),
+    # and spot-classification unambiguity (no entity name IS a concept
+    # literal or date-shaped).
+    for n in names:
+        assert not any(ch.isdigit() for ch in n), f"entity name has digit: {n!r}"
+        for t in _CONCEPT_TERMS:
+            assert t not in n and n not in t, (
+                f"cross-dictionary overlap: entity {n!r} vs concept {t!r}"
+            )
+    for t in _CONCEPT_TERMS:
+        assert not any(ch.isdigit() for ch in t), f"concept term has digit: {t!r}"
     branches = [_re.escape(n) for n in names] + _CONCEPT_BRANCHES + [_DATE_BRANCH]
     firsts = {n[0] for n in names} | {t[0] for t in _CONCEPT_TERMS} | set("0123456789")
-    cls = "".join(sorted(firsts))
+    # chars special inside a [] class would corrupt the lookahead guard if
+    # a future dictionary starts a term with one — escape, don't hope
+    cls = "".join(
+        ("\\" + ch) if ch in r"\^]-[" else ch for ch in sorted(firsts)
+    )
     return r"\b(?=[" + cls + r"])(" + "|".join(branches) + r")\b"
 
 

@@ -219,7 +219,9 @@ def rebuild_entities(
     ``fuzzy_blocking`` must stay constant across a warehouse's commits:
     the surface_links memo caches per-surface answers, so switching the
     blocking family requires deleting surface_links/entity_components
-    (they self-heal on the next commit).
+    (they self-heal on the next commit). ENFORCED: the family is recorded
+    in the surface_links manifest and a mismatching commit raises before
+    touching any table.
 
     Returns stats {n_surfaces, new_surfaces, cc_pending_edges,
     cc_fixpoint_edges, n_entities} (recorded in the snapshot manifests; the
@@ -251,7 +253,23 @@ def rebuild_entities(
         .localCheckpoint(eager=True)
     )
 
-    # 3. link only surfaces not in the memo
+    # 3. link only surfaces not in the memo. The memo caches per-surface
+    # answers from whatever blocking family produced them, so the family
+    # must stay constant per warehouse — enforced here via the recorded
+    # manifest value (advice r3: a help-text note is not enforcement),
+    # not the caller's discipline.
+    snaps = io.snapshots("surface_links")
+    if snaps:
+        recorded = snaps[-1].get("metrics", {}).get("fuzzy_blocking")
+        if recorded is not None and recorded != fuzzy_blocking:
+            raise RuntimeError(
+                f"fuzzy_blocking={fuzzy_blocking!r} but this warehouse's "
+                f"surface_links memo was built with {recorded!r}; mixed "
+                "families give inconsistent linking. Either rerun with "
+                f"--fuzzy-blocking {recorded}, or delete the surface_links"
+                " and entity_components tables (they self-heal on the next"
+                " commit)."
+            )
     if io.exists(spark, "surface_links"):
         known_links = io.read(spark, "surface_links")
         new_counts = counts.join(known_links.select("surface"), "surface", "left_anti")
@@ -268,22 +286,49 @@ def rebuild_entities(
         known_links.unionByName(new_links) if known_links is not None else new_links
     ).localCheckpoint(eager=True)  # materialize BEFORE overwriting the source
     io.write(all_links, "surface_links", mode="overwrite", lineage=lineage,
-             metrics={"new_surfaces": n_new})
+             metrics={"new_surfaces": n_new, "fuzzy_blocking": fuzzy_blocking})
 
     # 4. component labels: inherit for stars around known canonicals, run
     #    the CC fixpoint only on the truly-new subgraph
     edges_all = canon.sameas_edges_from_linking(all_links, "surface", "canonical")
     if io.exists(spark, "entity_components"):
         known_comp = io.read(spark, "entity_components")
+        labeled = known_comp.select("vertex")
+        # pending = edges with ANY unlabeled endpoint (advice r3: deriving
+        # pending from unlabeled-src only silently dropped an edge whose
+        # src was labeled but dst was not — safe only while the forest-of-
+        # stars assumption holds; this derivation doesn't depend on it)
         pending = edges_all.join(
-            known_comp.select(F.col("vertex").alias("src")), "src", "left_anti"
+            edges_all.join(labeled.withColumnRenamed("vertex", "src"), "src", "left_semi")
+            .join(labeled.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+            .select("src", "dst"),
+            ["src", "dst"],
+            "left_anti",
         ).localCheckpoint(eager=True)
-        attach = pending.join(
-            known_comp.withColumnRenamed("vertex", "dst"), "dst"
-        ).select(F.col("src").alias("vertex"), "component")
-        residual = pending.join(
-            known_comp.select(F.col("vertex").alias("dst")), "dst", "left_anti"
-        ).localCheckpoint(eager=True)
+        # one labeled endpoint: the other inherits its component label
+        k_src = known_comp.select(
+            F.col("vertex").alias("src"), F.col("component").alias("c_src")
+        )
+        k_dst = known_comp.select(
+            F.col("vertex").alias("dst"), F.col("component").alias("c_dst")
+        )
+        half = pending.join(k_src, "src", "left").join(k_dst, "dst", "left")
+        attach = (
+            half.filter(F.col("c_src").isNotNull() | F.col("c_dst").isNotNull())
+            .select(
+                F.when(F.col("c_src").isNull(), F.col("src"))
+                .otherwise(F.col("dst"))
+                .alias("vertex"),
+                F.coalesce("c_src", "c_dst").alias("component"),
+            )
+            .distinct()
+        )
+        # both endpoints unlabeled: genuinely new subgraph, run the fixpoint
+        residual = (
+            half.filter(F.col("c_src").isNull() & F.col("c_dst").isNull())
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
     else:
         known_comp = None
         pending = edges_all.localCheckpoint(eager=True)
@@ -297,6 +342,35 @@ def rebuild_entities(
     comp_all = (
         known_comp.unionByName(comp_new) if known_comp is not None else comp_new
     ).localCheckpoint(eager=True)
+    # Invariants (vocab-sized checks, advice r3): (a) one label per vertex
+    # — an attach/fixpoint collision means the star assumption broke; (b)
+    # no same-as edge spans two components — that would need a merge the
+    # memoized path cannot express. Fail loudly instead of letting the
+    # table silently diverge from a one-shot build.
+    if comp_all.groupBy("vertex").count().filter("count > 1").limit(1).count():
+        raise RuntimeError(
+            "entity_components invariant broken: a vertex received multiple "
+            "component labels (same-as graph is no longer a forest of stars);"
+            " delete surface_links/entity_components to rebuild from scratch"
+        )
+    lab = comp_all
+    spans = (
+        edges_all.join(
+            lab.select(F.col("vertex").alias("src"), F.col("component").alias("c1")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("vertex").alias("dst"), F.col("component").alias("c2")),
+            "dst",
+        )
+        .filter(F.col("c1") != F.col("c2"))
+    )
+    if spans.limit(1).count():
+        raise RuntimeError(
+            "entity_components invariant broken: a same-as edge spans two "
+            "components (incremental labels would need a merge); delete "
+            "surface_links/entity_components to rebuild from scratch"
+        )
     io.write(comp_all, "entity_components", mode="overwrite", lineage=lineage,
              metrics={"cc_pending_edges": n_pending,
                       "cc_fixpoint_edges": n_fixpoint})

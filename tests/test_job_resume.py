@@ -97,6 +97,38 @@ def test_entities_memo_self_heal(spark, spec, tmp_path):
     assert m["metrics"]["entities"]["new_surfaces"] == m["metrics"]["entities"]["n_surfaces"]
 
 
+def test_fuzzy_blocking_family_pinned_per_warehouse(spark, spec, tmp_path):
+    """ADVICE r3: the surface_links memo caches answers from one blocking
+    family; switching families on a later commit must fail loudly (the
+    family is recorded in the manifest), not silently mix results."""
+    import shutil
+
+    import pytest
+
+    tr = synth.transcripts_df(spark, spec)
+    tm = synth.target_metadata_df(spark, spec)
+    dz = synth.diseases_df(spark, spec)
+    io = TableIO(str(tmp_path / "wh_fam"))
+    r1_convs = [f"conv-2031-01-05-{m['model_name']}" for m in spec["rounds"][0]["models"]]
+    run_resumable_kg_job(
+        spark, tr.filter(F.col("conv_id").isin(r1_convs)), tm, dz, io,
+        fuzzy_blocking="prefix",
+    )
+    snaps = io.snapshots("surface_links")
+    assert snaps[-1]["metrics"]["fuzzy_blocking"] == "prefix"
+    with pytest.raises(RuntimeError, match="fuzzy_blocking"):
+        run_resumable_kg_job(spark, tr, tm, dz, io, fuzzy_blocking="minhash")
+    # deleting the memo tables (the documented escape hatch) unblocks —
+    # the snapshot log lives under the table path, so the recorded family
+    # resets with the data
+    shutil.rmtree(io.table_path("surface_links"))
+    shutil.rmtree(io.table_path("entity_components"))
+    assert not io.snapshots("surface_links")
+    m = run_resumable_kg_job(spark, tr, tm, dz, io, fuzzy_blocking="minhash")
+    assert m["metrics"]["entities"]["n_entities"] > 0
+    assert io.snapshots("surface_links")[-1]["metrics"]["fuzzy_blocking"] == "minhash"
+
+
 def test_tableio_snapshot_log(spark, tmp_path):
     io = TableIO(str(tmp_path / "wh"))
     df = spark.range(10).select(F.col("id"), (F.col("id") % 2).alias("p"))

@@ -92,6 +92,66 @@ def test_near_dup_clusters_transitive_and_singletons(spark):
     assert got2[9] == (9, True) and got2[10] == (9, False)
 
 
+def test_near_dup_clusters_wide_ids_and_negative_reject(spark):
+    """ADVICE r3: lpad(12) silently TRUNCATED ids wider than 12 digits
+    (e.g. monotonically_increasing_id beyond partition ~117). Ids up to
+    the full signed-long width must cluster + round-trip exactly; negative
+    ids must fail loudly, not corrupt the lexicographic-min invariant."""
+    import pytest
+
+    other = "completely different content here entirely unrelated words " * 3
+    big = (117 << 33) + 5           # 13-digit monotonically_increasing_id shape
+    bigger = (9_000_000 << 33) + 1  # 17 digits
+    docs = spark.createDataFrame(
+        [(big, other), (bigger, other + "tail")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.cluster, r.is_representative)
+        for r in dedup.near_dup_clusters(docs, threshold=0.7).collect()
+    }
+    assert got[big] == (big, True)
+    assert got[bigger] == (big, False)
+
+    neg = spark.createDataFrame(
+        [(-1, other), (2, other + "tail")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        dedup.near_dup_clusters(neg, threshold=0.7).collect()
+
+
+def test_connected_components_nonconvergence_dedupes_and_warns(spark):
+    """ADVICE r3: exhausting max_iterations used to silently emit multiple
+    conflicting (vertex, component) rows. Now it warns and collapses to
+    one deterministic label per vertex."""
+    import warnings
+
+    from smh_to_jsonld_spark.operators import canon
+
+    chain = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(12)], "src string, dst string"
+    )
+    stats = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comp = canon.connected_components(chain, max_iterations=1, stats=stats)
+        rows = comp.collect()
+    assert not stats["converged"]
+    assert any("fixpoint" in str(x.message) for x in w)
+    labels = {}
+    for r in rows:
+        assert r.vertex not in labels, "duplicate label for vertex"
+        labels[r.vertex] = r.component
+    # converged run agrees on the GLOBAL minima and is warning-free
+    stats2 = {}
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        full = canon.connected_components(chain, stats=stats2)
+        got = {r.vertex: r.component for r in full.collect()}
+    assert stats2["converged"]
+    assert not [x for x in w2 if "fixpoint" in str(x.message)]
+    assert set(got.values()) == {"v00"}
+
+
 def test_simhash_identical_and_near(spark):
     df = _docs(spark, ["a b c d e f g h", "a b c d e f g h", "q r s t u v w x"])
     sigs = {r.id: r.sig for r in dedup.simhash_signatures(df).collect()}
