@@ -147,16 +147,42 @@ def language_id(text: Column) -> Column:
 
     Deterministic tiebreak: language order en > es > fr > de (first max
     wins via strict greater-than chain).
+
+    Perf shape (fixes the r3 regression): the text is tokenized ONCE and
+    all per-language scores come from a single ``aggregate`` pass over
+    that array (each token contributes a 4-vector of stopword hits,
+    zip_with-summed into the accumulator). HOF lambdas are interpreted —
+    Catalyst does NOT common-subexpression-eliminate across them — so the
+    r3 form (4 independent ``stopword_score`` calls, each re-running
+    ``split``) re-tokenized every row 4x. The computed scores array is
+    then bound exactly once via a single-element ``transform`` (the
+    lambda variable is the binder), so neither the split nor the
+    aggregate appears twice in the final expression tree.
     """
     langs = list(STOPWORDS)
-    scores = F.array(*[stopword_score(text, lang) for lang in langs])
-    # argmax via array_position (first max wins ties = first language in
-    # declaration order) — avoids a when-chain that embeds every prior
-    # score twice per step
-    idx = F.array_position(scores, F.array_max(scores))
-    return F.when(F.array_max(scores) > 0,
-                  F.element_at(F.array(*[F.lit(l) for l in langs]), idx.cast("int"))
-                  ).otherwise(F.lit("und"))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    sw_arrs = [F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs]
+
+    def hits(t):
+        return F.array(*[F.array_contains(sw, t).cast("int") for sw in sw_arrs])
+
+    scores = F.aggregate(
+        tokens_of(F.lower(text)),
+        F.array(*[F.lit(0) for _ in langs]),
+        lambda acc, t: F.zip_with(acc, hits(t), lambda a, b: a + b),
+    )
+    return F.get(
+        F.transform(
+            F.array(scores),
+            lambda s: F.when(
+                F.array_max(s) > 0,
+                F.element_at(
+                    lang_arr, F.array_position(s, F.array_max(s)).cast("int")
+                ),
+            ).otherwise(F.lit("und")),
+        ),
+        0,
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
