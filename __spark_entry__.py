@@ -325,11 +325,17 @@ def q_exact_dedup_stats(spark, sf):
 
 
 def q_jaccard_pairs(spark, sf):
-    """dedup: token-set Jaccard pairs via shingle-blocked self-join."""
+    """dedup: token-set Jaccard pairs via shingle blocking WITH the
+    stop-shingle cap engaged (max_bucket=120 drops the most ubiquitous
+    token bucket — 'batch' appears in 125 of the 150 docs), so
+    the scale path's drop semantics are themselves oracle-checked: the
+    SQL replica applies the identical bucket-size filter, and shared
+    counts/jaccard reflect surviving buckets only (a documented lower
+    bound, threshold applied to it on both sides)."""
     from smh_to_jsonld_spark.operators import dedup
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
-    return dedup.jaccard_pairs(d, n=1, threshold=0.5)
+    return dedup.jaccard_pairs(d, n=1, threshold=0.5, max_bucket=120)
 
 
 def q_minhash_lsh_pairs(spark, sf):
@@ -1027,7 +1033,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
               FROM documents WHERE doc_id < 150),
-            e AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS g FROM t),
+            e0 AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS g FROM t),
+            -- the stop-shingle cap, replicated: buckets > 120 are dropped
+            -- BEFORE pair expansion (max_bucket=120 on the Spark side)
+            bs AS (SELECT g FROM e0 GROUP BY g HAVING count(*) <= 120),
+            e AS (SELECT e0.* FROM e0 JOIN bs USING (g)),
             p AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
                      count(*) AS shared

@@ -110,14 +110,23 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 1,
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1_000,
 ) -> DataFrame:
     """Exact token/n-gram-set Jaccard >= threshold pairs via shingle
     blocking: explode shingles, bucket per shingle hash, expand pairs
     within buckets (single pass — no self-join), count shared shingles,
     then |A∩B| / (|A|+|B|-|A∩B|). Only pairs sharing >=1 shingle are ever
     materialized, and the bucket key is a hash, not the text.
-    ``max_bucket`` drops stop-shingles (scale knob; None = exact).
+
+    ``max_bucket`` drops stop-shingle buckets. The default is FINITE
+    (r3 advice: this operator is the one most likely to hit a degenerate
+    bucket — unigram shingles over chat text put the whole corpus in the
+    "the" bucket, and in-bucket expansion is quadratic). Shared shingles
+    are then counted over surviving buckets only, so a dropped stop-
+    shingle UNDERCOUNTS the intersection — a recall knob, never a
+    precision one (reported jaccard is a lower bound). Pass ``None`` to
+    opt into exact mode, and account drops with
+    ``dropped_bucket_stats`` — no silent caps.
     """
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
@@ -498,6 +507,131 @@ def near_dup_clusters(
             (F.col("vertex") == F.col("cluster")).alias("is_representative"),
         )
     )
+
+
+def dropped_bucket_stats(
+    keyed: DataFrame, bucket_cols: list, max_bucket: int
+) -> dict:
+    """Drop accounting for a blocked operator ("no silent caps"): how many
+    buckets — and rows in them — a ``max_bucket`` cap discards from
+    ``keyed`` (the (id, *bucket_cols) frame a candidate generator would
+    expand). ONE aggregation action; record the result in the job
+    manifest next to the capped operator's output."""
+    row = (
+        keyed.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .agg(
+            F.count("*").alias("dropped_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("dropped_rows"),
+        )
+        .collect()[0]
+    )
+    return {"dropped_buckets": row.dropped_buckets, "dropped_rows": row.dropped_rows}
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-commit) near-dup: persistable signatures + delta pairs
+# ---------------------------------------------------------------------------
+
+def minhash_doc_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Per-doc state an INCREMENTAL near-dup pass persists: (id, bh, sh)
+    where ``bh`` = the ``bands`` LSH band hashes and ``sh`` = the distinct
+    shingle-hash set (xxhash64 — 16 bytes/shingle, so later commits can
+    exact-verify candidate pairs against PAST docs without re-reading
+    their text). Same signature family as ``minhash_lsh_pairs`` (flat
+    min-aggregates, whole-stage codegen); a batch run and an incremental
+    run over the same corpus therefore generate identical candidates.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("g"),
+    )
+    agg = ex.groupBy("id").agg(
+        *[F.min(F.xxhash64("g", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)],
+        F.collect_set(F.xxhash64("g")).alias("sh"),
+    )
+    bh = F.array(
+        *[
+            F.xxhash64(*[F.col(f"_h{bi * rows + ri}") for ri in range(rows)])
+            for bi in range(bands)
+        ]
+    )
+    return agg.select("id", bh.alias("bh"), F.sort_array("sh").alias("sh"))
+
+
+def delta_near_dup_pairs(
+    new_sigs: DataFrame,
+    all_sigs: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+) -> tuple:
+    """Candidate + verified pairs that involve AT LEAST ONE new doc:
+    band-bucket equi-join of the new docs' band keys against the full
+    signature table (hash join on (band, bh) — new-docs-sized probe, so
+    a resume commit pays for its delta, not the corpus), then exact
+    Jaccard over the stored shingle-hash sets. Old-old pairs were found
+    by the commits that introduced those docs and are never re-derived.
+
+    Buckets whose FULL-corpus size exceeds ``max_bucket`` are dropped on
+    both sides. Returns (pairs_df, stats_dict) — stats carry the dropped-
+    bucket accounting for the job manifest.
+    """
+    expl = lambda sigs: sigs.select(
+        "id", F.posexplode("bh").alias("band", "bhv")
+    )
+    all_keys = expl(all_sigs)
+    new_keys = expl(new_sigs)
+    sizes = all_keys.groupBy("band", "bhv").agg(F.count("*").alias("n"))
+    stats = {
+        "dropped_buckets": 0,
+        "dropped_rows": 0,
+    }
+    over = sizes.filter(F.col("n") > max_bucket)
+    drop = over.agg(
+        F.count("*").alias("b"), F.coalesce(F.sum("n"), F.lit(0)).alias("r")
+    ).collect()[0]
+    stats["dropped_buckets"], stats["dropped_rows"] = drop.b, drop.r
+    ok = sizes.filter(F.col("n") <= max_bucket).select("band", "bhv")
+    cand = (
+        new_keys.join(ok, ["band", "bhv"], "left_semi")
+        .join(
+            all_keys.select(
+                F.col("band"), F.col("bhv"), F.col("id").alias("id_o")
+            ),
+            ["band", "bhv"],
+        )
+        .filter(F.col("id") != F.col("id_o"))
+        .select(
+            F.least("id", "id_o").alias("id_a"),
+            F.greatest("id", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = lambda side: all_sigs.select(
+        F.col("id").alias(f"id_{side}"), F.col("sh").alias(f"sh_{side}")
+    )
+    pairs = (
+        cand.join(sh("a"), "id_a")
+        .join(sh("b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return pairs, stats
 
 
 def bucket_stats(keyed: DataFrame, bucket_cols: list) -> DataFrame:

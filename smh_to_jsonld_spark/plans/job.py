@@ -143,6 +143,11 @@ def run_resumable_kg_job(
         fuzzy_blocking=fuzzy_blocking,
     )
 
+    # corpus near-dup dedup, incrementally maintained (VERDICT r3 #3): a
+    # resume commit pays signature + pairing cost for ITS docs only — the
+    # batch near_dup_clusters would re-pair the whole corpus per commit.
+    neardup_stats = rebuild_near_dups(spark, io, subset, conv_round, todo, lineage)
+
     # node/edge KG materialization (north_rule: "materializing node/edge
     # Iceberg tables") — rebuilt from the FULL materialized triples table
     # (all committed rounds, a parquet re-scan — no plan re-execution), so
@@ -172,12 +177,202 @@ def run_resumable_kg_job(
             "partitions": per_round,
             "triples_by_pred": per_pred,
             "entities": entity_stats,
+            "near_dup": neardup_stats,
             "wall_sec": round(time.perf_counter() - t0, 3),
         },
     )
     docs.unpersist()
     cons.unpersist()
     return manifest
+
+
+def rebuild_near_dups(
+    spark: SparkSession,
+    io: TableIO,
+    subset: DataFrame,
+    conv_round: DataFrame,
+    todo: list,
+    lineage: dict,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+) -> dict:
+    """Incrementally-maintained corpus near-dup clustering (conversation
+    granularity — the unit a training pipeline dedupes transcripts at).
+
+    Tables:
+
+    - ``doc_signatures`` (round_id, id, bh, sh) — per-conversation MinHash
+      band hashes + distinct shingle-hash set, dynamic-partition-
+      overwritten per commit (same crash contract as triples). The stored
+      ``sh`` lets later commits exact-verify candidates against past docs
+      WITHOUT re-reading their text: pairing cost per commit is
+      new-docs x matched-buckets, never corpus x corpus.
+    - ``neardup_edges`` (round_id, id_a, id_b, jaccard) — verified pairs,
+      partitioned by the commit-owned round of the edge (the round of its
+      new endpoint; min when both endpoints are new), so a crash-retry
+      dynamic-overwrites exactly the partitions the crashed run touched.
+    - ``neardup_clusters`` (doc_id, cluster, is_representative) — global
+      rollup. Incremental CC by CONTRACTION: new edges are mapped onto the
+      previous cluster representatives, components run over that
+      contracted (new-edges-sized) graph, and prior members are relabeled
+      through the resulting rep->rep mapping — this handles cluster
+      MERGES, which the star-shaped entities memo never needs. Cluster id
+      = lexicographic min doc id over members (contraction preserves it:
+      reps are their clusters' minima, so the min over merged reps IS the
+      min over the merged membership), hence resumed == one-shot.
+
+    Cap semantics across commits (documented, surfaced, not silent):
+    band buckets larger than ``max_bucket`` over the CORPUS-AS-OF-COMMIT
+    are dropped; edges once committed are kept even if their bucket later
+    outgrows the cap, so the incremental build's recall is >= one-shot's.
+    Drop accounting goes into the manifest (``dropped_buckets``/
+    ``dropped_rows``).
+
+    Returns stats for the commit manifest.
+    """
+    from smh_to_jsonld_spark.operators import canon, dedup
+
+    # conversation-level text: one doc per conv, turns in stable order
+    docs = (
+        subset.groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+        .select(F.col("conv_id").alias("id"), "text")
+    )
+    sigs = dedup.minhash_doc_signatures(docs, id_col="id", text_col="text")
+    with_round = sigs.join(
+        F.broadcast(conv_round.select(F.col("conv_id").alias("id"), "round_id")), "id"
+    )
+    io.write_data(
+        with_round.select("round_id", "id", "bh", "sh"),
+        "doc_signatures",
+        partition_by=["round_id"],
+        mode="overwrite_partitions",
+    )
+
+    all_sigs = (
+        io.read(spark, "doc_signatures")
+        .withColumn("round_id", F.col("round_id").cast("string"))
+        .localCheckpoint(eager=True)
+    )
+    new_rounds = list(todo)  # THIS commit's rounds only — the delta
+    new_sigs = all_sigs.filter(F.col("round_id").isin(new_rounds))
+    n_new = new_sigs.count()
+    pairs, cap_stats = dedup.delta_near_dup_pairs(
+        new_sigs.select("id", "bh", "sh"),
+        all_sigs.select("id", "bh", "sh"),
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+    # edge -> commit-owned partition: round of the edge's NEW endpoint
+    # (min round when both are new) — deterministic per commit round-set
+    new_round_of = new_sigs.select("id", F.col("round_id").alias("nr"))
+    edges_new = (
+        pairs.join(new_round_of.select(F.col("id").alias("id_a"), F.col("nr").alias("ra")), "id_a", "left")
+        .join(new_round_of.select(F.col("id").alias("id_b"), F.col("nr").alias("rb")), "id_b", "left")
+        .select(
+            F.least(F.coalesce("ra", "rb"), F.coalesce("rb", "ra")).alias("round_id"),
+            "id_a",
+            "id_b",
+            "jaccard",
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_round_edges = {r: 0 for r in new_rounds}
+    per_round_edges.update(
+        {
+            r.round_id: r.n
+            for r in edges_new.groupBy("round_id").agg(F.count("*").alias("n")).collect()
+        }
+    )
+    n_edges = sum(per_round_edges.values())
+    io.write(
+        edges_new,
+        "neardup_edges",
+        partition_by=["round_id"],
+        mode="overwrite_partitions",
+        lineage=lineage,
+        metrics={"partitions": per_round_edges, "new_edges": n_edges, **cap_stats},
+    )
+
+    # cluster rollup: contract new edges onto previous representatives
+    if io.exists(spark, "neardup_clusters"):
+        prev = (
+            io.read(spark, "neardup_clusters")
+            .select("doc_id", "cluster")
+            .localCheckpoint(eager=True)  # materialize before overwrite
+        )
+    else:
+        prev = None
+    if prev is not None:
+        rep = lambda idc, out: prev.select(
+            F.col("doc_id").alias(idc), F.col("cluster").alias(out)
+        )
+        contracted = (
+            edges_new.join(rep("id_a", "rep_a"), "id_a", "left")
+            .join(rep("id_b", "rep_b"), "id_b", "left")
+            .select(
+                F.coalesce("rep_a", "id_a").alias("src"),
+                F.coalesce("rep_b", "id_b").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+    else:
+        # first commit OR healing a lost clusters table: the rollup is a
+        # CACHE of the committed edge set — rebuild components over ALL
+        # committed edges (this commit's write just completed the set),
+        # so a deleted neardup_clusters self-heals like the entity memos.
+        # (exists-guard: a corpus with zero near-dups writes no edge files)
+        all_edges = (
+            io.read(spark, "neardup_edges") if io.exists(spark, "neardup_edges")
+            else edges_new
+        )
+        contracted = all_edges.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    mapping = canon.connected_components(contracted).select(
+        F.col("vertex").alias("rep"), F.col("component").alias("new_cluster")
+    )
+    members = (
+        prev.unionByName(
+            new_sigs.select(
+                F.col("id").alias("doc_id"), F.col("id").alias("cluster")
+            )
+        ).groupBy("doc_id").agg(F.min("cluster").alias("cluster"))
+        if prev is not None
+        # no prev: every committed doc starts from self (healing path
+        # covers all rounds, so take the full signature table)
+        else all_sigs.select(F.col("id").alias("doc_id"), F.col("id").alias("cluster"))
+    )
+    clusters = (
+        members.join(mapping, members.cluster == mapping.rep, "left")
+        .select(
+            "doc_id",
+            F.coalesce("new_cluster", "cluster").alias("cluster"),
+        )
+        .withColumn("is_representative", F.col("doc_id") == F.col("cluster"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = clusters.count()
+    n_clusters = clusters.filter("is_representative").count()
+    io.write(
+        clusters, "neardup_clusters", mode="overwrite", lineage=lineage,
+        metrics={"n_docs": n_docs, "n_clusters": n_clusters, **cap_stats},
+    )
+    return {
+        "new_docs": n_new,
+        "new_edges": n_edges,
+        "n_docs": n_docs,
+        "n_clusters": n_clusters,
+        **cap_stats,
+    }
 
 
 def rebuild_entities(

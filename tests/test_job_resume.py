@@ -65,6 +65,26 @@ def test_resumable_job_and_snapshots(spark, spec, tmp_path):
     assert sB["cc_pending_edges"] <= sB["new_surfaces"]
     assert sB["cc_fixpoint_edges"] <= sB["cc_pending_edges"]
 
+    # near-dup clustering is ALSO incrementally maintained (VERDICT r3 #3):
+    # the resumed cluster table equals the one-shot build row-for-row ...
+    nd_key = lambda io_: {
+        (r.doc_id, r.cluster, r.is_representative)
+        for r in io_.read(spark, "neardup_clusters").collect()
+    }
+    one_shot_nd = nd_key(io)
+    assert one_shot_nd and one_shot_nd == nd_key(io2)
+    # ... the resume commit's pair-generation input was new-docs-sized
+    # (round B's 5 conversations, not the 10-conversation corpus) ...
+    ndA, ndB = mA["metrics"]["near_dup"], m3["metrics"]["near_dup"]
+    assert ndB["new_docs"] == 5 and ndA["new_docs"] == 5
+    assert ndB["n_docs"] == 10  # but the rollup covers the whole corpus
+    # ... and the blocked candidate generator accounts its drops in the
+    # manifest (no silent caps)
+    assert "dropped_buckets" in ndB and "dropped_rows" in ndB
+    assert ndB["dropped_buckets"] == 0  # nothing degenerate at spec scale
+    # signature partitions follow the commit rounds (crash contract)
+    assert io2.completed_partitions("neardup_edges") == {"2031-01-05", "2031-02-02"}
+
 
 def test_entities_memo_self_heal(spark, spec, tmp_path):
     """The linking/CC memo tables are CACHES: losing them between commits
@@ -88,13 +108,87 @@ def test_entities_memo_self_heal(spark, spec, tmp_path):
     io = TableIO(str(tmp_path / "wh_heal"))
     r1_convs = [f"conv-2031-01-05-{m['model_name']}" for m in spec["rounds"][0]["models"]]
     run_resumable_kg_job(spark, tr.filter(F.col("conv_id").isin(r1_convs)), tm, dz, io)
-    # lose BOTH memo tables between commits
+    # lose the memo/rollup tables between commits (neardup_clusters is a
+    # cache of the committed neardup_edges set, same healing contract)
     shutil.rmtree(io.table_path("entity_components"))
     shutil.rmtree(io.table_path("surface_links"))
+    shutil.rmtree(io.table_path("neardup_clusters"))
     m = run_resumable_kg_job(spark, tr, tm, dz, io)
     assert key(io) == expected
     # with the link memo gone, every surface re-links (healed, not skipped)
     assert m["metrics"]["entities"]["new_surfaces"] == m["metrics"]["entities"]["n_surfaces"]
+    nd_key = lambda io_: {
+        (r.doc_id, r.cluster, r.is_representative)
+        for r in io_.read(spark, "neardup_clusters").collect()
+    }
+    assert nd_key(io) == nd_key(io_ref)
+
+
+def _dup_conv_rows(conv_id, round_id, tokens):
+    """One conversation: discovery header + content turns of `tokens`."""
+    import datetime
+
+    ts = datetime.datetime(2031, 1, 5)
+    rows = [(conv_id, 0, "user", f"Round {round_id} scenario discussion", None, ts)]
+    half = len(tokens) // 2
+    rows.append((conv_id, 1, "assistant", " ".join(tokens[:half]), None, ts))
+    rows.append((conv_id, 2, "assistant", " ".join(tokens[half:]), None, ts))
+    return rows
+
+
+def test_near_dup_cross_commit_cluster_merge(spark, spec, tmp_path):
+    """The incremental path's hard case, which the entities memo never
+    hits: a LATER commit's doc bridges two clusters formed by an EARLIER
+    commit — contraction must merge them, and the resumed table must
+    equal a one-shot build over the same corpus.
+
+    Token design: T = B∪X, V = B∪Y with |B|=100, |X|=|Y|=25 disjoint =>
+    J(T,V) ≈ 0.68 (below 0.8 — T/V clusters stay separate; the LSH
+    S-curve still makes them candidates, so verification pruning is
+    exercised too), while the bridge C = B∪X∪Y has J(C,T)=J(C,V) ≈ 0.84
+    (above 0.8 — merges both)."""
+    from smh_to_jsonld_spark.sources.synth import TRANSCRIPT_SCHEMA
+
+    B = [f"tok{i:03d}" for i in range(100)]
+    X = [f"xta{i:03d}" for i in range(25)]
+    Y = [f"yvb{i:03d}" for i in range(25)]
+    rA, rB = "2031-01-05", "2031-02-02"
+    rows = (
+        _dup_conv_rows(f"conv-{rA}-zdupa", rA, B + X)
+        + _dup_conv_rows(f"conv-{rA}-zdupb", rA, B + X)
+        + _dup_conv_rows(f"conv-{rA}-zdupc", rA, B + Y)
+        + _dup_conv_rows(f"conv-{rA}-zdupd", rA, B + Y)
+        + _dup_conv_rows(f"conv-{rB}-zbridge", rB, B + X + Y)
+    )
+    custom = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    tr = synth.transcripts_df(spark, spec).unionByName(custom)
+    tm = synth.target_metadata_df(spark, spec)
+    dz = synth.diseases_df(spark, spec)
+
+    nd = lambda io_: {
+        (r.doc_id, r.cluster, r.is_representative)
+        for r in io_.read(spark, "neardup_clusters").collect()
+    }
+    # resumed: round A commit, then round B commit
+    io_inc = TableIO(str(tmp_path / "wh_inc"))
+    run_resumable_kg_job(
+        spark, tr.filter(~F.col("conv_id").contains(rB)), tm, dz, io_inc
+    )
+    after1 = {d: c for d, c, _ in nd(io_inc)}
+    assert after1[f"conv-{rA}-zdupb"] == f"conv-{rA}-zdupa"
+    assert after1[f"conv-{rA}-zdupd"] == f"conv-{rA}-zdupc"  # two clusters
+    m2 = run_resumable_kg_job(spark, tr, tm, dz, io_inc)
+    after2 = {d: c for d, c, _ in nd(io_inc)}
+    merged = {f"conv-{rA}-zdup{s}" for s in "abcd"} | {f"conv-{rB}-zbridge"}
+    assert {after2[d] for d in merged} == {f"conv-{rA}-zdupa"}  # ONE cluster
+    # the merge commit only paid for its own docs (round B: 5 spec models
+    # + the bridge), not the whole corpus
+    assert m2["metrics"]["near_dup"]["new_docs"] == 6
+
+    # one-shot over the same corpus: identical table
+    io_one = TableIO(str(tmp_path / "wh_one"))
+    run_resumable_kg_job(spark, tr, tm, dz, io_one)
+    assert nd(io_one) == nd(io_inc)
 
 
 def test_fuzzy_blocking_family_pinned_per_warehouse(spark, spec, tmp_path):
