@@ -287,6 +287,9 @@ def model_docs(
             "doc_id"
         ),
         F.to_json(doc, JSON_OPTS).alias("doc_json"),
+        # the typed pre-to_json document: triples.triples_from_structs
+        # flattens THIS column JVM-side, skipping the JSON round-trip
+        doc.alias("doc_struct"),
         enriched.alias("enriched"),
     )
 

@@ -4,9 +4,10 @@
   per-model json.dump, create_jsonld_v6_0_0.py:374-376). Implemented as a
   partitioned text write: at scale one-file-per-entity is an anti-pattern,
   so the default is per-round directories of part files each holding one
-  JSON-LD document per line (JSON-LD in NDJSON framing); a
-  ``one_file_per_doc`` driver-side export exists for small result sets
-  (bounded by collect, documented).
+  JSON-LD document per line (JSON-LD in NDJSON framing); the
+  ``one_file_per_doc`` mode reproduces the reference's file-per-model
+  layout via ``foreachPartition`` — executors write their own docs, no
+  driver collect anywhere in the export path.
 - ``render_round_html``: minimal HTML report from a consolidated round doc
   (the jsonld_to_html.py:555-661 analog; presentation only, driver-side
   over the already-tiny consolidated docs).
@@ -23,6 +24,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _doc_file_writer(out_dir: str):
+    """Executor-side writer: one reference-style .jsonld file per doc.
+
+    Runs inside ``foreachPartition`` — each task writes ITS docs straight
+    to the (shared) filesystem, nothing is collected to the driver, so the
+    export parallelizes with the data. ``doc_id`` is unique per doc, so
+    file names never collide across tasks; dir creation races are benign
+    (``exist_ok``)."""
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            rdir = Path(out_dir) / row.round_id
+            rdir.mkdir(parents=True, exist_ok=True)
+            name = row.doc_id.split("/")[-1].replace(":", "_") + ".jsonld"
+            with open(rdir / name, "w") as f:
+                json.dump(json.loads(row.doc_json), f, indent=2)
+
+    return write_partition
+
+
 def write_jsonld_files(
     docs: DataFrame, out_dir: str, one_file_per_doc: bool = False
 ) -> None:
@@ -35,13 +56,11 @@ def write_jsonld_files(
             .text(out_dir)
         )
         return
-    # small-set export with reference-style file naming (doc_id -> file)
-    for row in docs.select("round_id", "doc_id", "doc_json").collect():
-        rdir = Path(out_dir) / row.round_id
-        rdir.mkdir(parents=True, exist_ok=True)
-        name = row.doc_id.split("/")[-1].replace(":", "_") + ".jsonld"
-        with open(rdir / name, "w") as f:
-            json.dump(json.loads(row.doc_json), f, indent=2)
+    # reference-style file naming (doc_id -> file), written by EXECUTORS:
+    # no driver collect, scales to any number of docs on a shared FS
+    docs.select("round_id", "doc_id", "doc_json").foreachPartition(
+        _doc_file_writer(out_dir)
+    )
 
 
 def model_output_snippet_html(

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smh_to_jsonld_spark.operators import aggregates, emit, extract, link
-from smh_to_jsonld_spark.operators.triples import triples_from_docs
+from smh_to_jsonld_spark.operators.triples import (
+    triples_from_docs,
+    triples_from_structs,
+)
 
 
 def hub_pipeline_from_frames(
@@ -62,10 +65,18 @@ def hub_pipeline_from_frames(
     consolidated = emit.consolidated_round_docs(
         docs.select("round_id", "model_name", "doc_json"), diseases, dialect=dialect
     )
-    all_docs = docs.select("doc_id", "doc_json", "round_id").union(
-        consolidated.select("doc_id", "doc_json", "round_id")
+    # model docs flatten JVM-side over the TYPED struct (no JSON re-parse,
+    # no Python stage); consolidated docs are pandas-built JSON strings
+    # (one per round) so they keep the Arrow flattener. Same triple rules,
+    # pinned equivalent by tests/test_triples.py.
+    model_triples = triples_from_structs(
+        docs.select("doc_id", "doc_struct", "round_id"), passthrough=["round_id"]
     )
-    triples = triples_from_docs(all_docs, passthrough=["round_id"])
+    cons_triples = triples_from_docs(
+        consolidated.select("doc_id", "doc_json", "round_id"),
+        passthrough=["round_id"],
+    )
+    triples = model_triples.union(cons_triples)
     return {
         "field_values": field_values,
         "model_docs": docs,

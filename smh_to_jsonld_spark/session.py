@@ -65,6 +65,11 @@ def get_spark(
         .config("spark.local.dir", os.environ.get("SMHKG_LOCAL_DIR", "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.jsonGenerator.ignoreNullFields", "true")
+        # call-site capture for error context costs 3 extra py4j
+        # round-trips per DataFrame API call (~1ms each here) — measured
+        # ~40% of plan-BUILD time on the deep emit trees. Debug sessions
+        # can re-enable via extra_conf.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

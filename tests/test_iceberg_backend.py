@@ -7,6 +7,10 @@
 The parquet backend's TableIO tests cover the shared manifest/resume
 logic; these cover the Iceberg-specific surface: catalog conf, the
 days(ts)+bucket(conv_id) transcript DDL, and writeTo commits.
+
+Jar-fetch retry log (per-round, VERDICT r3 task 8):
+- 2026-08-17 (r4): `curl repo1.maven.org` -> "Could not resolve host";
+  DNS still blackholed, jar unfetchable, tests below stay skipped.
 """
 
 import pytest

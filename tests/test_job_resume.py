@@ -303,6 +303,64 @@ def test_streaming_linked_entity_counts(spark, spec, tmp_path):
     assert streamed == batch and streamed
 
 
+def test_stream_counts_reconcile_with_batch_entity_graph(spark, spec, tmp_path):
+    """Speed-layer -> batch-layer reconciliation (VERDICT r3 task 7).
+
+    The stream emits exact-linked-or-raw surfaces; the batch
+    ``entity_graph`` additionally upgrades missed surfaces through the
+    FUZZY pass. Re-keying the stream's accumulated counts through the
+    batch ``link_surface_counts`` mapping (surface -> canonical, identity
+    for already-canonical entities) must reproduce the batch table's
+    per-canonical mention counts exactly — i.e. the two layers disagree
+    only by the documented fuzzy upgrade, never by lost or duplicated
+    mentions."""
+    from smh_to_jsonld_spark.operators import extract, link as linkops
+    from smh_to_jsonld_spark.plans.pipeline import entity_graph, link_surface_counts
+    from smh_to_jsonld_spark.streaming import ingest
+
+    src = str(tmp_path / "in")
+    tr = synth.transcripts_df(spark, spec)
+    tr.write.parquet(src)
+
+    q = (
+        ingest.linked_entity_counts_stream(
+            ingest.read_transcript_stream(spark, src), spark
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("lec_recon")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_totals: dict = {}
+    for r in spark.sql("SELECT entity, sum(n_mentions) n FROM lec_recon GROUP BY entity").collect():
+        stream_totals[r.entity] = stream_totals.get(r.entity, 0) + r.n
+
+    spotted = extract.spot_mentions(tr)
+    batch = {
+        r.canonical: r.n_mentions for r in entity_graph(spark, spotted).collect()
+    }
+
+    # totals reconcile: every spotted mention is counted once in each layer
+    assert sum(stream_totals.values()) == sum(batch.values()) > 0
+
+    # re-key stream entities through the batch linking decision
+    ents = spotted.filter(F.col("kind") == "entity").select(
+        linkops.normalize_surface(F.col("term")).alias("surface")
+    )
+    counts = linkops.salted_count(ents, ["surface"], salt_buckets=16)
+    surface_to_canonical = {
+        r.surface: r.canonical for r in link_surface_counts(spark, counts).collect()
+    }
+    upgraded: dict = {}
+    for entity, n in stream_totals.items():
+        canon = surface_to_canonical.get(entity, entity)
+        upgraded[canon] = upgraded.get(canon, 0) + n
+    assert upgraded == batch
+
+
 def test_stateful_conversation_sessions(spark, spec, tmp_path):
     """applyInPandasWithState sessionization over the file stream."""
     from smh_to_jsonld_spark.streaming import ingest

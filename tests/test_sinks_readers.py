@@ -67,6 +67,12 @@ def test_jsonld_sinks_and_html(spark, spec, tmp_path):
     sinks.write_jsonld_files(docs, str(out2), one_file_per_doc=True)
     files = list(Path(out2).rglob("*.jsonld"))
     assert len(files) == 10
+    # executor-written files are byte-identical to the reference's
+    # driver-side json.dump(indent=2) rendering
+    for row in docs.collect():  # test-side oracle collect, not the sink's
+        name = row.doc_id.split("/")[-1].replace(":", "_") + ".jsonld"
+        got = (Path(out2) / row.round_id / name).read_text()
+        assert got == json.dumps(json.loads(row.doc_json), indent=2)
 
     html_dir = tmp_path / "html"
     sinks.write_round_html(res["consolidated"], str(html_dir))

@@ -182,6 +182,91 @@ def main():
     )
     core2["mentions"].unpersist()
 
+    # --- Catalyst struct flatten (r4): model-doc triples without Python ---
+    from smh_to_jsonld_spark.operators.triples import triples_from_structs
+    from smh_to_jsonld_spark.plans.pipeline import kg_pipeline_from_transcripts
+
+    res = kg_pipeline_from_transcripts(
+        spark,
+        synth.transcripts_df(spark, spec),
+        synth.target_metadata_df(spark, spec),
+        synth.diseases_df(spark, spec),
+    )
+    p = plan_of(
+        triples_from_structs(res["model_docs"].select("doc_id", "doc_struct"))
+    )
+    py_stages = sum(
+        p.count(marker)
+        for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+    )
+    sections.append(
+        (
+            "Triple flattening is pure Catalyst for model docs (r4)",
+            "`triples_from_structs` compiles the document schema into one "
+            "generate/explode expression over the TYPED pre-`to_json` struct "
+            "— the flatten never serializes docs to JSON, never re-parses, "
+            "and runs no Python stage (the Arrow `triples_from_docs` path "
+            "remains only for the per-round consolidated docs, one per "
+            f"round). Python-stage count in this plan: **{py_stages}**.",
+            keep(p, ("Generate", "Project", "MapInPandas", "ArrowEvalPython",
+                     "BatchEvalPython")),
+        )
+    )
+    res["mentions"].unpersist()
+    res["model_docs"].unpersist()
+    res["field_values"].unpersist()
+
+    # --- AQE skew-join splitting (r4): runtime salt-and-replicate --------
+    skew_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+    }
+    old_confs = {k: spark.conf.get(k, None) for k in skew_confs}
+    for k, v in skew_confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(120_000).select(
+            F.when(F.col("id") % 50 != 0, F.lit("US"))
+            .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.createDataFrame(
+            [("US", "United States")] + [(f"k{i}", f"name{i}") for i in range(1000)],
+            "k string, name string",
+        )
+        joined = left.join(right, "k").select("k", "name", "payload")
+        joined.write.format("noop").mode("overwrite").save()
+        joined.collect()  # finalize THIS dataset's adaptive plan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        p = buf.getvalue()
+        sections.append(
+            (
+                "AQE splits the head-entity-skewed join at runtime (r4)",
+                "98% of fact rows hit one key ('US'); with broadcast disabled "
+                "(dim too big to ship) the sort-merge join's hot partition is "
+                "detected from RUNTIME sizes and split into advisory-sized "
+                "chunks with the dim side replicated — the salt-and-replicate "
+                "rewrite, driven by measured bytes instead of a static guess. "
+                "Thresholds are scaled to the fixture; the same path engages "
+                "at 256 MB partitions in production. Result equality with the "
+                "unsplit join is pinned by tests/test_skew_join.py.",
+                keep(p, ("skew=true", "AQEShuffleRead", "SortMergeJoin",
+                         "isFinalPlan")),
+            )
+        )
+    finally:
+        for k, v in old_confs.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
     out = ["# PLANS.md — physical-plan evidence (generated by tools/gen_plans.py)\n"]
     out.append(
         "Excerpts from `.explain('formatted')` on the sf0.01 testdata; "
