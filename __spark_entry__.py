@@ -293,6 +293,44 @@ def q_quality_score(spark, sf):
     )
 
 
+def q_repetition_score(spark, sf):
+    """textstats: Gopher-style repetition filters (duplicate lines /
+    duplicate n-grams) — the boilerplate/spam gate of a training-data
+    pipeline. Pure Catalyst map-only projection."""
+    from smh_to_jsonld_spark.operators import textstats
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return textstats.repetition_features(d).select(
+        "doc_id", "dup_line_ratio", "dup_2gram_ratio", "dup_3gram_ratio"
+    )
+
+
+def q_pii_scrub(spark, sf):
+    """textstats: PII redaction (emails/SSNs/phones/IPv4 -> typed
+    placeholders) + per-category counts. The corpus text is augmented
+    with deterministic synthetic PII per doc (both engines apply the
+    identical augmentation) so the scrubber is exercised on every row,
+    not just on accidental matches."""
+    from smh_to_jsonld_spark.operators import textstats
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    aug = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id"), F.lit("@mail.example.com")),
+            F.concat(F.lit("042-68-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            F.concat(F.lit("555-867-530"), (F.col("doc_id") % 10).cast("string")),
+            F.concat(F.lit("192.168."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).alias("text"),
+    )
+    return textstats.pii_scrub(aug).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5(F.col("scrubbed")).alias("scrub_hash"),
+    )
+
+
 def q_language_id(spark, sf):
     """textstats: stopword-heuristic language ID vs the labeled lang col."""
     from smh_to_jsonld_spark.operators import textstats
@@ -636,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "subword_token_count": q_subword_token_count,
         "quality_score": q_quality_score,
+        "repetition_score": q_repetition_score,
+        "pii_scrub": q_pii_scrub,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "exact_dedup_stats": q_exact_dedup_stats,
@@ -995,6 +1035,66 @@ def oracle_sql() -> dict[str, str]:
                          + (1 - least(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0 END * 10, 1.0)) * 0.2,
                          4) AS quality
             FROM f
+        """,
+        "repetition_score": """
+            WITH f AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\n'),
+                                 l -> length(trim(l)) > 0) AS lines,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents WHERE doc_id < 500),
+            g AS (
+              SELECT doc_id, lines, toks,
+                     len(toks) AS n_tok,
+                     len(toks) - 1 AS t2,
+                     len(toks) - 2 AS t3
+              FROM f)
+            SELECT doc_id,
+                   round(CASE WHEN len(lines) > 0
+                         THEN 1 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+                         ELSE 0 END, 4) AS dup_line_ratio,
+                   round(CASE WHEN t2 > 0
+                         THEN 1 - len(list_distinct(list_transform(generate_series(1, t2),
+                              i -> toks[i] || ' ' || toks[i+1]))) / CAST(t2 AS DOUBLE)
+                         ELSE 0 END, 4) AS dup_2gram_ratio,
+                   round(CASE WHEN t3 > 0
+                         THEN 1 - len(list_distinct(list_transform(generate_series(1, t3),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) / CAST(t3 AS DOUBLE)
+                         ELSE 0 END, 4) AS dup_3gram_ratio
+            FROM g
+        """,
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' ' ||
+                     'user' || doc_id || '@mail.example.com' || ' ' ||
+                     '042-68-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ||
+                     '555-867-530' || CAST(doc_id % 10 AS VARCHAR) || ' ' ||
+                     '192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+              FROM documents WHERE doc_id < 500),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+              FROM aug),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+                     regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_email, n_ssn,
+                     len(regexp_extract_all(t, '\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}')) AS n_phone,
+                     regexp_replace(t, '\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}', '<PHONE>', 'g') AS t
+              FROM s2),
+            s4 AS (
+              SELECT doc_id, n_email, n_ssn, n_phone,
+                     len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                     regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS t
+              FROM s3)
+            SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, md5(t) AS scrub_hash
+            FROM s4
         """,
         "language_id": """
             WITH s AS (

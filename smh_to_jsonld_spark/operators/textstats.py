@@ -212,6 +212,83 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition filters for training-data quality (the Gopher-rules
+    family): documents dominated by repeated lines or n-grams are
+    boilerplate/spam and get filtered before training.
+
+    Emitted per doc, all pure Catalyst (array ops over the token list —
+    the text never leaves the JVM):
+      - ``dup_line_ratio``    1 - distinct_lines / lines
+      - ``dup_2gram_ratio``   1 - distinct_2grams / total_2grams
+      - ``dup_3gram_ratio``   1 - distinct_3grams / total_3grams
+
+    Ratios are 0 for degenerate inputs (empty text, fewer tokens than n).
+    At 100 TB this is a narrow map-only projection: no shuffle, no UDF,
+    scan-bound."""
+    t = F.col(text_col)
+    toks = tokens_of(t)
+    n_tok = token_count(t)
+
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1 - F.size(F.array_distinct(lines)) / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    def dup_ngram(n: int) -> Column:
+        total = n_tok - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(total, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(
+            total > 0, 1 - F.size(F.array_distinct(grams)) / total
+        ).otherwise(F.lit(0.0))
+
+    return df.select(
+        "*",
+        F.round(dup_line, 4).alias("dup_line_ratio"),
+        F.round(dup_ngram(2), 4).alias("dup_2gram_ratio"),
+        F.round(dup_ngram(3), 4).alias("dup_3gram_ratio"),
+    )
+
+
+# PII patterns: kept lookaround-free so the SAME pattern text runs under
+# Java regex (Spark) and RE2 (DuckDB oracle). Order matters only for
+# overlapping families; these are mutually disjoint shapes (3-2-4 SSN vs
+# 3-3-4 phone, dotted IPv4, @-anchored email).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: replace emails / SSNs / phone
+    numbers / IPv4 addresses with typed placeholders (``<EMAIL>`` etc.)
+    and count redactions per category — the counts feed corpus-level PII
+    rate metrics, the scrubbed text feeds training.
+
+    Pure Catalyst ``regexp_replace``/``regexp_extract_all`` chain: no
+    Python touches the text, the plan stays map-only (scan-bound at
+    100 TB). Patterns are deliberately conservative (precision over
+    recall) and shared with the SQL oracle verbatim."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return df.select("*", *counts, scrubbed.alias("scrubbed"))
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (Rolling/winnowed variants live in dedup.minhash — this is the exact-

@@ -409,6 +409,46 @@ def test_token_counts(spark):
     assert got[3] == (3, 8)
 
 
+def test_repetition_features_known_values(spark):
+    df = _docs(
+        spark,
+        [
+            "a b a b a b",          # 2grams: ab ba ab ba ab -> 2 distinct of 5
+            "one two three four",   # no repetition
+            "",                     # degenerate -> all zeros
+            "x\ny\nx\n\n  \nz",     # 4 nonblank lines, 3 distinct
+        ],
+    )
+    got = {
+        r.doc_id: (r.dup_line_ratio, r.dup_2gram_ratio, r.dup_3gram_ratio)
+        for r in textstats.repetition_features(df).collect()
+    }
+    assert got[0][1] == round(1 - 2 / 5, 4)
+    assert got[0][2] == round(1 - 2 / 4, 4)  # aba bab aba bab
+    assert got[1] == (0.0, 0.0, 0.0)
+    assert got[2] == (0.0, 0.0, 0.0)
+    assert got[3][0] == 0.25  # 4 lines, 3 distinct
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            "mail me at jo.doe+x@corp.example.org today",
+            "ssn 123-45-6789 phone (555) 867-5309 ip 10.0.0.1",
+            "clean text with no pii at all",
+        ],
+    )
+    got = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert got[0].n_email == 1 and "<EMAIL>" in got[0].scrubbed
+    assert "jo.doe" not in got[0].scrubbed
+    assert got[1].n_ssn == 1 and got[1].n_phone == 1 and got[1].n_ipv4 == 1
+    assert "<SSN>" in got[1].scrubbed and "<PHONE>" in got[1].scrubbed
+    assert "<IPV4>" in got[1].scrubbed and "6789" not in got[1].scrubbed
+    assert got[2].n_email == got[2].n_ssn == got[2].n_phone == got[2].n_ipv4 == 0
+    assert got[2].scrubbed == "clean text with no pii at all"
+
+
 def test_subword_token_count_greedy_longest_match(spark):
     """Hand-computed maximal-munch segmentations with the checked-in
     vocab (contains 'the', 'spark', 'ing', and all [a-z0-9] singles)."""
