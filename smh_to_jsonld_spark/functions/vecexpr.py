@@ -1,0 +1,127 @@
+"""Vector math over embedding columns as GENERATED SQL text.
+
+The embedding operators originally built their projection expressions out
+of pyspark ``Column`` objects with one ``F.lit`` per weight — (k, L)
+hyperplane tables at k=16, L=8, dim=64 cost ~25k py4j round-trips (~1 ms
+each on this host) of pure plan-BUILD time per query. Everything here is
+emitted as ONE SQL string instead: microseconds to build, parsed once
+JVM-side.
+
+Two codegen regimes, chosen per use:
+
+- **Projections against literal plane/centroid matrices**
+  (``sign_bucket_sql`` / ``msb_bucket_sql`` / ``score_array_sql``): the
+  weights are embedded as literal SQL arrays and the dot product stays a
+  higher-order ``aggregate(zip_with(...))``. HOFs are interpreted, but a
+  corpus row meets each matrix once — the arithmetic is microscopic next
+  to shuffle/scan cost. What matters is that the generated class stays
+  SMALL: a fully unrolled 16x64 score array emits a ~14k-line class that
+  janino refuses, and every failed compile costs seconds per stage
+  before the interpreted fallback kicks in (measured: that overhead, not
+  the math, dominated these queries).
+
+- **Per-candidate-pair cosine** (``cosine_sql`` over two array columns):
+  runs once per CANDIDATE PAIR (hundreds of thousands at dense
+  thresholds), so it is unrolled into straight-line arithmetic — ~200
+  generated lines, compiles fine, whole-stage codegen with no boxing.
+
+Floating-point parity: the HOF forms are the ORIGINAL implementations
+verbatim (same fold), and the unrolled cosine sums left-associative in
+ascending index order — exactly the HOF fold order — so results are
+bit-identical and every DuckDB oracle replica stays valid. Literals
+render via ``repr`` (shortest round-trip).
+
+ANSI note: the unrolled forms require uniform ``dim``-length vectors
+(``element_at`` past the end raises) — the embedding-table contract; the
+HOF forms inherit ``zip_with`` null-padding semantics unchanged.
+"""
+
+from __future__ import annotations
+
+
+def array_lit_sql(weights) -> str:
+    """One literal array<double>."""
+    return "array(" + ", ".join(repr(float(w)) for w in weights) + ")"
+
+
+def matrix_lit_sql(rows) -> str:
+    """One literal array<array<double>>."""
+    return "array(" + ", ".join(array_lit_sql(r) for r in rows) + ")"
+
+
+def dot_hof_sql(vec: str, weights_sql: str) -> str:
+    """aggregate(zip_with(vec, w, x*y), 0.0, +) — the original HOF dot,
+    emitted as text (interpreted; use for per-row projections only)."""
+    return (
+        f"aggregate(zip_with({vec}, {weights_sql}, (x, y) -> x * y), "
+        f"0.0d, (a, x) -> a + x)"
+    )
+
+
+def sign_bucket_sql(vec: str, planes) -> str:
+    """Pack sign bits of the planes' projections, bit i = plane i
+    (out |= (proj_i > 0) << i); bigint-typed."""
+    terms = [
+        f"shiftleft(CAST({dot_hof_sql(vec, array_lit_sql(p))} > 0.0d AS BIGINT), {i})"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def msb_bucket_sql(vec: str, planes) -> str:
+    """similarity.lsh_topk packing: out = out*2 + bit, plane 0 is the
+    HIGH bit; int-typed (matches the hamming-probe xor arithmetic)."""
+    out = "0"
+    for p in planes:
+        bit = f"CAST({dot_hof_sql(vec, array_lit_sql(p))} > 0.0d AS INT)"
+        out = f"({out} * 2 + {bit})"
+    return out
+
+
+def score_array_sql(vec: str, centroids) -> str:
+    """array(dot(vec, c) for c in centroids) — one transform over a
+    literal matrix; the IVF scoring array."""
+    return (
+        f"transform({matrix_lit_sql(centroids)}, "
+        f"__c -> {dot_hof_sql(vec, '__c')})"
+    )
+
+
+def cosine_hof_sql(a: str, b: str) -> str:
+    """HOF cosine (interpreted, dim-agnostic, codegen-tiny) — use where
+    the surrounding stage is already expression-heavy (e.g. fused with
+    the bucket-pair expansion): measured equal to the unrolled form there
+    because pair EXPANSION dominates, and it can never trip the janino
+    method-size limit."""
+    return (
+        f"(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0d, (p, q) -> p + q) / "
+        f"(sqrt(aggregate({a}, 0.0d, (p, q) -> p + q * q)) * "
+        f"sqrt(aggregate({b}, 0.0d, (p, q) -> p + q * q))))"
+    )
+
+
+def dot_vec_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled sum_i a[i]*b[i], fold-order-identical to the HOF dot."""
+    terms = " + ".join(
+        f"element_at({a}, {i + 1}) * element_at({b}, {i + 1})"
+        for i in range(dim)
+    )
+    return f"(0.0d + {terms})"
+
+
+def sq_norm_sql(a: str, dim: int) -> str:
+    terms = " + ".join(
+        f"element_at({a}, {i + 1}) * element_at({a}, {i + 1})"
+        for i in range(dim)
+    )
+    return f"(0.0d + {terms})"
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    """Exact cosine, same operation tree as ``dedup.cosine_expr``
+    (dot / (sqrt(na) * sqrt(nb))); unrolled — the per-candidate-pair
+    hot path."""
+    return (
+        f"({dot_vec_sql(a, b, dim)} / "
+        f"(sqrt({sq_norm_sql(a, dim)}) * sqrt({sq_norm_sql(b, dim)})))"
+    )

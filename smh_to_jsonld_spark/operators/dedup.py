@@ -372,30 +372,6 @@ def cosine_expr(a, b):
     return dot / (na * nb)
 
 
-def _sign_bucket(vec, planes) -> "F.Column":
-    """Pack the sign bits of `planes` projections into one int bucket id."""
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0
-        ).cast("int")
-        for plane in planes
-    ]
-    out = None
-    for i, b in enumerate(bits):
-        term = F.shiftleft(b.cast("long"), i)
-        out = term if out is None else out.bitwiseOR(term)
-    return out
-
-
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -422,30 +398,36 @@ def embedding_neardup_pairs(
     buckets, which is exactly the 100x blow-up this replaces. Dropped
     buckets are observable via ``bucket_stats`` (no silent truncation:
     log them at the call site).
+
+    All vector math is UNROLLED fixed-dim SQL (functions.vecexpr): the
+    (k, L) projections and the exact-cosine verification run inside
+    whole-stage codegen with bit-identical results to the old
+    interpreted-HOF forms (same fold order) at a fraction of both the
+    plan-build and execution cost.
     """
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _sign_bucket(vec, _hyperplanes(dim, n_planes, seed + t)).alias("bkt"),
-            )
-            for t in range(n_tables)
-        ]
+    from smh_to_jsonld_spark.functions import vecexpr
+
+    tables_sql = "array(" + ", ".join(
+        f"named_struct('tbl', {t}, 'bkt', "
+        f"{vecexpr.sign_bucket_sql('v', _hyperplanes(dim, n_planes, seed + t))})"
+        for t in range(n_tables)
+    ) + ")"
+    vecd = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    keyed = df.select(
-        F.col(id_col).alias("id"), F.explode(tables).alias("tb")
+    keyed = vecd.select(
+        "id", F.explode(F.expr(tables_sql)).alias("tb")
     ).select("id", F.lit(0).alias("sz"), "tb.tbl", "tb.bkt")
     cand = (
         _bucket_pairs(keyed, ["tbl", "bkt"], max_bucket)
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("id"), vec.alias("v"))
     return (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        cand.join(vecd.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecd.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", F.expr(vecexpr.cosine_hof_sql("va", "vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

@@ -16,11 +16,20 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from smh_to_jsonld_spark.operators.dedup import _hyperplanes, cosine_expr
+from smh_to_jsonld_spark.functions import vecexpr
+from smh_to_jsonld_spark.operators.dedup import _hyperplanes
 
 
 def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+    return col.cast("array<double>")
+
+
+def _assign_sql(vec: str, cents: list) -> str:
+    """argmax-dot cell id over literal centroids (unrolled SQL; the score
+    array appears twice — array_position needs the max — but whole-stage
+    codegen's subexpression elimination evaluates it once)."""
+    s = vecexpr.score_array_sql(vec, cents)
+    return f"CAST(array_position({s}, array_max({s})) - 1 AS INT)"
 
 
 def brute_force_topk(
@@ -29,11 +38,14 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Exact top-k: broadcast queries × corpus scan, window rank.
 
     Output: (query_id, neighbor_id, rank, cosine).
     Deterministic tie-break: cosine desc, neighbor_id asc.
+    Scoring is the unrolled fixed-``dim`` cosine (functions.vecexpr) —
+    whole-stage codegen, bit-identical to the HOF fold.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -44,7 +56,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        F.expr(vecexpr.cosine_sql("qv", "cv", dim)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -54,24 +66,6 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine"))
     )
-
-
-def _bucket_expr(vec_col, planes):
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(float(w)) for w in p]), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
-            > 0
-        ).cast("int")
-        for p in planes
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out * 2 + b
-    return out
 
 
 def lsh_topk(
@@ -93,11 +87,11 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", _bucket_expr(F.col("cv"), planes))
+    ).withColumn("bucket", F.expr(vecexpr.msb_bucket_sql("cv", planes)))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket0", _bucket_expr(F.col("qv"), planes))
+    ).withColumn("bucket0", F.expr(vecexpr.msb_bucket_sql("qv", planes)))
     if multiprobe:
         probes = F.array_union(
             F.array(F.col("bucket0")),
@@ -115,7 +109,7 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        F.expr(vecexpr.cosine_sql("qv", "cv", dim)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -135,27 +129,6 @@ def seeded_centroids(n_centroids: int, dim: int, seed: int) -> list:
     return (cents / np.linalg.norm(cents, axis=1, keepdims=True)).tolist()
 
 
-def _score_array(v, cents: list):
-    # one score expression per centroid in a single array, argmax via
-    # array_position — a when-chain would EMBED each prior score twice per
-    # step (2^n expression blowup that stalls analysis/codegen)
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            for c in cents
-        ]
-    )
-
-
-def _assign_expr(v, cents: list):
-    scores = _score_array(v, cents)
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-
-
 def ivf_assign(corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
                id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 7,
                centroids: list | None = None) -> DataFrame:
@@ -164,9 +137,9 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
     from :func:`kmeans_train` for a real index; default is the seeded
     random codebook (deterministic, oracle-checkable without training)."""
     cents = centroids if centroids is not None else seeded_centroids(n_centroids, dim, seed)
-    v = _as_double(F.col(vec_col))
-    return corpus.select(
-        F.col(id_col), F.col(vec_col), _assign_expr(v, cents).alias("centroid")
+    return corpus.withColumn("__cv", _as_double(F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col),
+        F.expr(_assign_sql("__cv", cents)).alias("centroid"),
     )
 
 
@@ -197,10 +170,12 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
-    c = c.withColumn("cell", _assign_expr(F.col("cv"), centroids))
+    c = c.withColumn("cell", F.expr(_assign_sql("cv", centroids)))
 
-    qv = _as_double(F.col(vec_col))
-    scores = _score_array(qv, centroids)
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scores = F.expr(vecexpr.score_array_sql("qv", centroids))
     pairs = F.transform(
         F.sequence(F.lit(0), F.lit(nc - 1)),
         lambda i: F.struct(
@@ -210,14 +185,11 @@ def ivf_topk(
     probes = F.transform(
         F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["ci"]
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), qv.alias("qv"),
-        F.explode(probes).alias("cell"),
-    )
+    q = q0.select("query_id", "qv", F.explode(probes).alias("cell"))
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",
         "neighbor_id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        F.expr(vecexpr.cosine_sql("qv", "cv", len(centroids[0]))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -239,8 +211,11 @@ def kmeans_update_once(corpus: DataFrame, centroids: list,
     no rows (the driver keeps their previous centroid).
 
     Returns long-form (centroid, pos, value)."""
-    v = _as_double(F.col(vec_col))
-    assigned = corpus.select(_assign_expr(v, centroids).alias("centroid"), v.alias("v"))
+    vecd = corpus.select(_as_double(F.col(vec_col)).alias("__vv"))
+    assigned = vecd.select(
+        F.expr(_assign_sql("__vv", centroids)).alias("centroid"),
+        F.col("__vv").alias("v"),
+    )
     comps = assigned.select("centroid", F.posexplode("v").alias("pos", "val"))
     means = comps.groupBy("centroid", "pos").agg(F.avg("val").alias("m"))
     norms = means.groupBy("centroid").agg(

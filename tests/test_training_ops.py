@@ -272,7 +272,7 @@ def test_brute_force_topk_exact(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     queries = df.filter(F.col("vec_id") == 0)
     corpus = df.filter(F.col("vec_id") != 0)
-    got = similarity.brute_force_topk(corpus, queries, k=2).collect()
+    got = similarity.brute_force_topk(corpus, queries, k=2, dim=4).collect()
     assert [(r.neighbor_id, r.rank) for r in got] == [(10, 1), (1, 2)]
 
 
