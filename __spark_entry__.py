@@ -331,6 +331,16 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_tfidf_top_terms(spark, sf):
+    """textstats: per-doc top-3 TF-IDF terms (corpus keyword extraction).
+    Integer-only output (tf, df, rank) so the cross-engine compare never
+    rides on ln() ulp differences."""
+    from smh_to_jsonld_spark.operators import textstats
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return textstats.tfidf_top_terms(d, k=3)
+
+
 def q_language_id(spark, sf):
     """textstats: stopword-heuristic language ID vs the labeled lang col."""
     from smh_to_jsonld_spark.operators import textstats
@@ -676,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_score": q_repetition_score,
         "pii_scrub": q_pii_scrub,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
         "exact_dedup_stats": q_exact_dedup_stats,
@@ -1095,6 +1106,25 @@ def oracle_sql() -> dict[str, str]:
               FROM s3)
             SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, md5(t) AS scrub_hash
             FROM s4
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id AS doc, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+              FROM documents WHERE doc_id < 300),
+            tf AS (
+              SELECT doc, token, count(*) AS tf
+              FROM toks WHERE length(token) > 0 GROUP BY doc, token),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents WHERE doc_id < 300),
+            scored AS (
+              SELECT tf.doc, tf.token, tf.tf, dfreq.df,
+                     tf.tf * (ln((n.n + 1) / CAST(dfreq.df + 1 AS DOUBLE)) + 1) AS tfidf
+              FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+            ranked AS (
+              SELECT doc, token, tf, df,
+                     row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, token ASC) AS rank
+              FROM scored)
+            SELECT doc AS doc_id, token, tf, df, rank FROM ranked WHERE rank <= 3
         """,
         "language_id": """
             WITH s AS (

@@ -32,6 +32,7 @@ HEADLINE = [
     "quality_score",
     "repetition_score",
     "pii_scrub",
+    "tfidf_top_terms",
     "language_id",
     "exact_dedup_stats",
     "jaccard_pairs",

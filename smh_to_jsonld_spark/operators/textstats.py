@@ -289,6 +289,48 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("*", *counts, scrubbed.alias("scrubbed"))
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-doc top-k TF-IDF terms — corpus-level keyword extraction.
+
+    Spark shape (two shuffles, both map-side combined, no UDF):
+      1. explode lowercased tokens -> (doc, token) term counts;
+      2. document frequency per token (count over distinct doc-token
+         pairs, which step 1 already materialized);
+      3. idf = ln((N+1)/(df+1)) + 1 (smoothed), tfidf = tf * idf, top-k
+         per doc by (tfidf desc, token asc) window rank.
+
+    The token-df join broadcasts when the vocabulary is small; at corpus
+    scale it is a shuffle join on the token key — both sides are already
+    aggregates, so rows are vocabulary/doc-term sized, never raw text.
+    Output keeps integer columns (tf, df) + rank so cross-engine float
+    comparison never depends on ln() ulp differences."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_of(F.lower(F.col(text_col)))).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy("doc", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "token", "tf", "df", "rank")
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (Rolling/winnowed variants live in dedup.minhash — this is the exact-

@@ -449,6 +449,27 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[2].scrubbed == "clean text with no pii at all"
 
 
+def test_tfidf_top_terms_known_values(spark):
+    df = _docs(
+        spark,
+        [
+            "apple apple banana shared",   # apple tf=2, rare
+            "cherry shared shared",        # shared tf=2 but df=3 (low idf)
+            "durian shared",
+        ],
+    )
+    got = textstats.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token, r.tf, r.df))
+    # doc 0: apple (tf=2, df=1) dominates; banana/shared tie on tfidf?
+    assert sorted(by_doc[0])[0] == (1, "apple", 2, 1)
+    # doc 2: durian (df=1) beats shared (df=3)
+    assert sorted(by_doc[2])[0] == (1, "durian", 1, 1)
+    # every doc got exactly k=2 rows (3 distinct tokens each, k smaller)
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
 def test_subword_token_count_greedy_longest_match(spark):
     """Hand-computed maximal-munch segmentations with the checked-in
     vocab (contains 'the', 'spark', 'ing', and all [a-z0-9] singles)."""
