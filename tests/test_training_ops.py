@@ -449,6 +449,32 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[2].scrubbed == "clean text with no pii at all"
 
 
+def test_pii_scrub_idempotent_and_repetition_bounded(spark):
+    """Properties: scrubbing is idempotent (placeholders contain no
+    digits/@, so a second pass is a no-op) and repetition ratios stay in
+    [0, 1] — over a grid of adversarial shapes."""
+    shapes = [
+        "a@b.co 111-22-3333 999-888-7777 1.2.3.4",
+        "<EMAIL> already scrubbed 042-68-0000",
+        "",
+        "\n\n\n",
+        "x " * 200,
+        "unique tokens only here",
+        "dots.every.where 10.0.0.300 not-an-ip-1234",
+    ]
+    df = _docs(spark, shapes)
+    once = textstats.pii_scrub(df).select(
+        F.col("doc_id"), F.col("scrubbed").alias("text")
+    )
+    twice = textstats.pii_scrub(once)
+    for r in twice.collect():
+        assert r.scrubbed == r.text  # idempotent
+        assert r.n_email == r.n_ssn == r.n_phone == r.n_ipv4 == 0
+    for r in textstats.repetition_features(df).collect():
+        for v in (r.dup_line_ratio, r.dup_2gram_ratio, r.dup_3gram_ratio):
+            assert 0.0 <= v <= 1.0
+
+
 def test_tfidf_top_terms_known_values(spark):
     df = _docs(
         spark,
