@@ -551,6 +551,45 @@ def minhash_doc_signatures(
     return agg.select("id", bh.alias("bh"), F.sort_array("sh").alias("sh"))
 
 
+def minhash_doc_signatures_rowwise(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """STATELESS variant of :func:`minhash_doc_signatures`: the same
+    (id, bh, sh) rows computed as a pure per-row projection (array HOFs
+    over the shingle array — no explode, no groupBy), which makes it
+    legal inside an append-mode STREAM with no watermark or state.
+
+    Value-identical to the batch form by construction: min over the same
+    shingle-hash multiset, band hash over the same (long, ...) tuple,
+    distinct+sort over the same set — pinned by
+    ``test_doc_signature_stream_matches_batch``. The batch job keeps the
+    explode+groupBy form (flat min-aggs run in whole-stage codegen; the
+    HOF form is interpreted), so the speed layer trades per-row CPU for
+    statelessness — the standard bronze-layer trade.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh_arr = shingles(F.col(text_col), shingle_n)
+
+    def _mh(seed: int):
+        return F.array_min(F.transform(sh_arr, lambda s: F.xxhash64(s, F.lit(seed))))
+
+    mins = [_mh(i) for i in range(num_hashes)]
+    bh = F.array(
+        *[
+            F.xxhash64(*[mins[bi * rows + ri] for ri in range(rows)])
+            for bi in range(bands)
+        ]
+    )
+    sh = F.sort_array(F.array_distinct(F.transform(sh_arr, lambda s: F.xxhash64(s))))
+    return df.select(F.col(id_col).alias("id"), bh.alias("bh"), sh.alias("sh"))
+
+
 def delta_near_dup_pairs(
     new_sigs: DataFrame,
     all_sigs: DataFrame,

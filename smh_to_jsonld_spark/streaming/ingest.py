@@ -36,6 +36,33 @@ def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_document_stream(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """File-source document stream (the dedup speed layer's input):
+    parquet drops of (doc_id, text, ...) rows."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(path)
+    )
+
+
+def doc_signature_stream(stream: DataFrame, **kw) -> DataFrame:
+    """Incremental front end of the near-dup dedup pass: per-doc MinHash
+    band hashes + shingle-hash sets computed STATELESSLY on the document
+    stream (operators.dedup.minhash_doc_signatures_rowwise — pure per-row
+    projection, append-mode legal with no watermark/state).
+
+    Landing these in the ``doc_signatures`` bronze layout means the batch
+    job's incremental near-dup stage (plans.job.rebuild_near_dups) finds
+    its per-doc state already materialized when a commit runs — the same
+    speed-layer / batch-layer split as ``mention_stream``. Value-identical
+    to the batch signature pass (pinned by
+    test_doc_signature_stream_matches_batch)."""
+    from smh_to_jsonld_spark.operators.dedup import minhash_doc_signatures_rowwise
+
+    return minhash_doc_signatures_rowwise(stream, **kw)
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once turn identity under replays: late duplicates of
     (conv_id, turn_idx) within the watermark are dropped, state is evicted

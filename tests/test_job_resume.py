@@ -361,6 +361,41 @@ def test_stream_counts_reconcile_with_batch_entity_graph(spark, spec, tmp_path):
     assert upgraded == batch
 
 
+def test_doc_signature_stream_matches_batch(spark, tmp_path):
+    """Speed-layer dedup front end: streamed per-doc MinHash signatures
+    (stateless row-wise projection) must be VALUE-IDENTICAL to the batch
+    explode+groupBy signature pass — the contract that lets the
+    incremental near-dup stage consume stream-landed ``doc_signatures``
+    without re-deriving them."""
+    from smh_to_jsonld_spark.operators import dedup
+    from smh_to_jsonld_spark.streaming import ingest
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma doc{i} shares tokens with doc{i % 3}")
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_in")
+    docs.write.parquet(src)
+
+    stream = ingest.read_document_stream(spark, src, "doc_id long, text string")
+    out = str(tmp_path / "sigs")
+    ingest.run_available_now(
+        ingest.doc_signature_stream(stream), out, str(tmp_path / "ck")
+    )
+    streamed = {
+        r.id: (tuple(r.bh), tuple(r.sh))
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.id: (tuple(r.bh), tuple(r.sh))
+        for r in dedup.minhash_doc_signatures(docs).collect()
+    }
+    assert streamed == batch and len(streamed) == 30
+
+
 def test_stateful_conversation_sessions(spark, spec, tmp_path):
     """applyInPandasWithState sessionization over the file stream."""
     from smh_to_jsonld_spark.streaming import ingest
