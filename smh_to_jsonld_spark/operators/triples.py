@@ -383,6 +383,62 @@ def triples_from_structs(
     )
 
 
+def triples_from_fact_mentions(mentions: DataFrame, spark) -> DataFrame:
+    """Per-TURN fact triples, stateless: one (subj, pred, obj) row per
+    non-null fact field of each fact mention, with the location surface
+    resolved through the EXACT broadcast alias dictionary (the speed-layer
+    contract: no fuzzy pass on the hot path — the batch job upgrades
+    misses at the next commit, exactly like linked_entity_counts_stream).
+
+    subj = ``kg:conv/<conv_id>/turn/<turn_idx>`` — turn-grain provenance,
+    deliberately finer than the batch factory's doc-level JSON-LD triples
+    (which need full-conversation and corpus context and stay batch).
+    Every expression is a per-row projection plus one stream-static
+    broadcast join, so the same function serves the batch replica and the
+    append-mode stream with no watermark or state."""
+    from smh_to_jsonld_spark.functions.dims import alias_dim
+    from smh_to_jsonld_spark.operators.link import normalize_surface
+
+    facts = mentions.filter(F.col("kind") == "fact")
+    dim = alias_dim(spark).select(
+        F.col("alias").alias("__norm"), F.col("canonical")
+    )
+    linked = (
+        facts.withColumn("__norm", normalize_surface(F.col("f2")))
+        .join(F.broadcast(dim), "__norm", "left")
+        .withColumn("__loc", F.coalesce(F.col("canonical"), F.col("f2")))
+    )
+    subj = F.concat(
+        F.lit("kg:conv/"), F.col("conv_id"), F.lit("/turn/"),
+        F.col("turn_idx").cast("string"),
+    )
+    fields = [
+        ("target", F.col("f1")),
+        ("location", F.col("__loc")),
+        ("age_group", F.col("f3")),
+        ("output_type", F.col("f4")),
+        ("scenario_id", F.col("f5")),
+        ("origin_date", F.col("f6")),
+        ("horizon", F.col("f7")),
+    ]
+    triples = F.filter(
+        F.array(
+            *[
+                F.when(
+                    c.isNotNull() & (F.length(c) > 0),
+                    F.struct(subj.alias("subj"), F.lit(p).alias("pred"),
+                             c.alias("obj")),
+                )
+                for p, c in fields
+            ]
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return linked.select(F.explode(triples).alias("t")).select(
+        "t.subj", "t.pred", "t.obj"
+    )
+
+
 def precision_recall(mine: set, golden: set) -> tuple[float, float]:
     """Set precision/recall of triple tuples."""
     if not mine or not golden:

@@ -63,6 +63,24 @@ def doc_signature_stream(stream: DataFrame, **kw) -> DataFrame:
     return minhash_doc_signatures_rowwise(stream, **kw)
 
 
+def fact_triples_stream(
+    stream: DataFrame, spark: SparkSession, watermark: str = "1 hour"
+) -> DataFrame:
+    """Incremental triple materialization: watermark-deduped turn stream
+    -> Catalyst mention extraction -> per-turn fact triples
+    (operators.triples.triples_from_fact_mentions — stateless projection
+    + one stream-static broadcast join). Doc-level JSON-LD triples remain
+    batch (they need full-conversation and corpus context); this lands
+    the turn-grain fact log continuously so the batch commit starts from
+    materialized triples instead of raw text."""
+    from smh_to_jsonld_spark.operators.extract import extract_mentions
+    from smh_to_jsonld_spark.operators.triples import triples_from_fact_mentions
+
+    return triples_from_fact_mentions(
+        extract_mentions(dedup_stream(stream, watermark)), spark
+    )
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once turn identity under replays: late duplicates of
     (conv_id, turn_idx) within the watermark are dropped, state is evicted

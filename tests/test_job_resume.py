@@ -361,6 +361,39 @@ def test_stream_counts_reconcile_with_batch_entity_graph(spark, spec, tmp_path):
     assert upgraded == batch
 
 
+def test_fact_triples_stream_matches_batch(spark, spec, tmp_path):
+    """Speed-layer triple materialization: the streamed per-turn fact
+    triples must equal the same stateless transforms applied batch-side
+    to the identical corpus (multiset equality after an availableNow
+    drain)."""
+    from smh_to_jsonld_spark.operators import extract
+    from smh_to_jsonld_spark.operators.triples import triples_from_fact_mentions
+    from smh_to_jsonld_spark.streaming import ingest
+
+    tr = synth.transcripts_df(spark, spec)
+    src = str(tmp_path / "in")
+    tr.write.parquet(src)
+
+    out = str(tmp_path / "fact_triples")
+    ingest.run_available_now(
+        ingest.fact_triples_stream(ingest.read_transcript_stream(spark, src), spark),
+        out, str(tmp_path / "ck"),
+    )
+    streamed = sorted(
+        tuple(r) for r in spark.read.parquet(out).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in triples_from_fact_mentions(
+            extract.extract_mentions(tr), spark
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) > 1000
+    # exact-linked locations appear as canonical FIPS, not surface forms
+    locs = {o for _, p, o in streamed if p == "location"}
+    assert any(len(x) == 2 and x.isdigit() for x in locs), locs
+
+
 def test_doc_signature_stream_matches_batch(spark, tmp_path):
     """Speed-layer dedup front end: streamed per-doc MinHash signatures
     (stateless row-wise projection) must be VALUE-IDENTICAL to the batch
