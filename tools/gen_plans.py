@@ -216,6 +216,27 @@ def main():
     res["model_docs"].unpersist()
     res["field_values"].unpersist()
 
+    # --- r4 text-quality operators: scan-bound map-only plans ------------
+    p_rep = plan_of(qs["repetition_score"](spark, sf))
+    p_pii = plan_of(qs["pii_scrub"](spark, sf))
+    exchanges = p_rep.count("Exchange") + p_pii.count("Exchange")
+    p_tfidf = plan_of(qs["tfidf_top_terms"](spark, sf))
+    sections.append(
+        (
+            "Text-quality filters are map-only; TF-IDF shuffles aggregates only (r4)",
+            "`repetition_score` and `pii_scrub` compile to scan+filter+project "
+            f"with ZERO exchanges (count across both plans: **{exchanges}**) — "
+            "at 100 TB they are scan-bound passes. `tfidf_top_terms` shuffles "
+            "twice with map-side partial aggregation (doc-term counts, then "
+            "token document frequency) plus the per-doc top-k window; raw "
+            "text never moves.",
+            keep(p_rep + p_pii, ("Exchange", "Project", "Filter", "Scan parquet",
+                                 "PushedFilters"))
+            + "\n--- tfidf_top_terms ---\n"
+            + keep(p_tfidf, ("HashAggregate", "Exchange", "Window", "Generate")),
+        )
+    )
+
     # --- AQE skew-join splitting (r4): runtime salt-and-replicate --------
     skew_confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
