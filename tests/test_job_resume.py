@@ -361,6 +361,45 @@ def test_stream_counts_reconcile_with_batch_entity_graph(spark, spec, tmp_path):
     assert upgraded == batch
 
 
+def test_stream_landed_signatures_feed_delta_neardup(spark, tmp_path):
+    """End-to-end speed->batch handoff for dedup: signatures landed by
+    the STREAM are consumed directly by delta_near_dup_pairs, and the
+    verified pairs equal a pure-batch near-dup run over the same corpus
+    (pairs touching the new delta)."""
+    from pyspark.sql import functions as F
+
+    from smh_to_jsonld_spark.operators import dedup
+    from smh_to_jsonld_spark.streaming import ingest
+
+    base = [(i, f"common prefix tokens doc {i % 4}") for i in range(20)]
+    delta = [(100 + i, f"common prefix tokens doc {i % 4}") for i in range(6)]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "in")
+    spark.createDataFrame(base + delta, schema).write.parquet(src)
+
+    sigs_path = str(tmp_path / "sigs")
+    ingest.run_available_now(
+        ingest.doc_signature_stream(ingest.read_document_stream(spark, src, schema)),
+        sigs_path, str(tmp_path / "ck"),
+    )
+    all_sigs = spark.read.parquet(sigs_path)
+    new_sigs = all_sigs.filter(F.col("id") >= 100)
+
+    pairs, stats = dedup.delta_near_dup_pairs(new_sigs, all_sigs, threshold=0.8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+
+    full = dedup.minhash_lsh_pairs(
+        spark.createDataFrame(base + delta, schema), threshold=0.8
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a >= 100 or r.id_b >= 100  # delta-touching pairs only
+    }
+    assert got == want and got  # stream-landed state == batch-derived
+    assert stats["dropped_buckets"] == 0
+
+
 def test_fact_triples_stream_matches_batch(spark, spec, tmp_path):
     """Speed-layer triple materialization: the streamed per-turn fact
     triples must equal the same stateless transforms applied batch-side
