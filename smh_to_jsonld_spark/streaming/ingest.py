@@ -17,6 +17,10 @@ Ops included:
 - ``linked_entity_counts_stream``  spot -> broadcast-link -> windowed
                               per-entity counts (speed layer)
 - ``conversation_sessions``   applyInPandasWithState sessionization
+- ``fact_triples_stream``     per-turn fact triples landed continuously
+                              (stateless + stream-static exact linking)
+- ``doc_signature_stream``    stateless per-doc MinHash signatures into
+                              the incremental near-dup bronze layer
 - ``run_available_now``       drain-everything micro-batch into parquet
 """
 
