@@ -88,6 +88,85 @@ def distinct_field_values(
     return out.withColumn("origin_date_max", F.element_at("origin_date", -1))
 
 
+_FIELD_CASTS = {"origin_date": "date", "horizon": "int"}  # others stay string
+
+
+def distinct_field_values_long(
+    facts: DataFrame, keys=("round_id", "model_id"), order_col: str = "turn_order"
+) -> DataFrame:
+    """First-appearance-ordered distinct field values via a LONG-FORM
+    explode — the hot-path replacement for ``distinct_field_values(...,
+    order_col=...)`` (pinned equal by ``test_field_values_long_equals_
+    combos_path``).
+
+    Why: the combos formulation shuffles one wide struct row per DISTINCT
+    FIELD COMBINATION — at transcript scale the combinatorial cross
+    product approaches the raw fact count, so the exchange carries nearly
+    the whole fact table. Here each fact row explodes to 7 skinny (key, field,
+    value-as-string, order) rows and the first groupBy's MAP-SIDE partial
+    aggregation collapses them to the per-partition distinct (key, field,
+    value) set — the exchange carries ~|distinct values| rows (thousands),
+    not |facts|. Two more aggregations (per-field ordered collect, pivot
+    to columns) run over value-vocabulary-sized data.
+
+    First-appearance equivalence: a value's position in the reference's
+    pandas insertion-order list is its minimum ``order_col`` over all fact
+    rows carrying it; min distributes over the union of combos, so
+    min-per-(field,value) == first-combo-containing-it. ``order_col``
+    values are unique per fact row (one mention per turn), so the sort is
+    total and deterministic. Values are grouped as canonical strings
+    (date -> 'yyyy-MM-dd', int -> decimal) and cast back per field — both
+    roundtrips are exact.
+
+    Output schema and edge cases match the combos path exactly: one row
+    per key present in ``facts`` (even if every field value is NULL),
+    empty arrays (never NULL) for valueless fields, ``max_horizon`` and
+    last-appearance ``origin_date_max`` (the reference's
+    last-origin-date-wins quirk, utils/temporal.py).
+    """
+    fields = [c for c in FACT_FIELDS if c in facts.columns]
+    key_cols = [F.col(k) for k in keys]
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("f"), F.col(c).cast("string").alias("v"))
+            for c in fields
+        ]
+    )
+    long = (
+        facts.select(*key_cols, F.col(order_col).alias("__o"), F.explode(pairs).alias("fv"))
+        .select(*keys, "__o", F.col("fv.f").alias("__f"), F.col("fv.v").alias("__v"))
+        .filter(F.col("__v").isNotNull())
+    )
+    firsts = long.groupBy(*keys, "__f", "__v").agg(F.min("__o").alias("__o"))
+    per_field = firsts.groupBy(*keys, "__f").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__o").alias("o"), F.col("__v").alias("v")))
+            ),
+            lambda x: x["v"],
+        ).alias("__vals")
+    )
+    pivoted = per_field.groupBy(*keys).agg(
+        *[
+            F.first(F.when(F.col("__f") == c, F.col("__vals")), ignorenulls=True).alias(c)
+            for c in fields
+        ]
+    )
+    # keys whose facts are all-NULL across every field vanish from the
+    # long form — restore them (combos path emits a row of empty arrays)
+    skeleton = facts.select(*key_cols).distinct()
+    out = skeleton.join(pivoted, list(keys), "left")
+    for c in fields:
+        arr = F.coalesce(F.col(c), F.array())
+        cast_to = _FIELD_CASTS.get(c)
+        if cast_to:
+            arr = F.transform(arr, lambda x: x.cast(cast_to))
+        out = out.withColumn(c, arr)
+    return out.withColumn("max_horizon", F.array_max("horizon")).withColumn(
+        "origin_date_max", F.element_at("origin_date", -1)
+    )
+
+
 def merge_field_values_global(
     per_model: DataFrame, key="round_id", model_order_col: str | None = None
 ) -> DataFrame:

@@ -111,12 +111,16 @@ _PREFILTER = (
 )
 
 _ANCHORED = [
+    # fact first: heads are mutually exclusive so branch order is
+    # semantics-free, and fact lines dominate matched rows in transcript
+    # corpora (~10x rounds/headers) — putting them first means the hot
+    # rows pay ONE rlike instead of six (r5 perf pass)
+    ("fact", _PAT_FACT, 7),
+    ("kv", _PAT_KV, 2),
     ("round", _PAT_ROUND, 1),
     ("header", _PAT_HEADER, 5),
-    ("kv", _PAT_KV, 2),
     ("contributor", _PAT_CONTRIB, 3),
     ("file", _PAT_FILE, 1),
-    ("fact", _PAT_FACT, 7),
 ]
 
 
@@ -138,6 +142,15 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     stays small: structured mentions are ~0.5 rows/turn; spotted mentions
     can be many per turn and would bloat the cache every downstream scan
     pays for.
+
+    Formulation note (measured, r5): a single-regex-pass variant
+    (``regexp_replace`` rewriting the match to sentinel-joined groups +
+    one ``split``) was benchmarked against the per-group
+    ``regexp_extract`` form and LOST (2.0s vs 1.1s at 1.2M turns) —
+    Spark's RegExpReplace pays StringBuffer + UTF8String round-trips that
+    outweigh re-running the (anchored, cheap) pattern per group, so the
+    extract form stays. The measured win was branch ORDER (fact-first,
+    see _ANCHORED).
     """
     text = F.col("text")
 
@@ -328,6 +341,12 @@ def spot_mentions_pandas(transcripts: DataFrame) -> DataFrame:
     )
 
 
+_CONV_DIM_COLS = [
+    "conv_id", "round_id", "model_name", "model_version", "team_abbr",
+    "model_abbr", "team_name",
+]
+
+
 def conversation_dim(mentions: DataFrame) -> DataFrame:
     """Per-conversation identity: round_id + model header fields.
 
@@ -357,6 +376,101 @@ def conversation_dim(mentions: DataFrame) -> DataFrame:
     )
 
 
+def conversation_wide(mentions: DataFrame) -> DataFrame:
+    """ALL conversation-level aggregates in ONE shuffle (r5 perf pass):
+    the header identity (= ``conversation_dim``), the kv metadata fields,
+    and the turn-ordered contributor list.
+
+    The factory previously paid three separate groupBy(conv_id) passes
+    over the mention table (conversation_dim for facts, kv_wide + contribs
+    for metadata); at transcript scale each pass shuffles the full
+    conv-keyed mention set. Merging them is semantics-free because every
+    per-kind aggregation is already NULL-guarded by kind:
+    - first(when(kind=...), ignorenulls) sees exactly the rows the
+      kind-filtered variant saw;
+    - collect_list skips NULLs, so the contributor list collects exactly
+      the contributor mentions; an empty result is normalized to NULL to
+      match the filtered-groupBy + left-join shape it replaces.
+    File mentions ride along too (turn-ordered filename array, exploded
+    back by ``files_from_conv_wide``) — they are conversation-level and
+    collecting them here saves the file-histogram branch its own full
+    mention-cache scan + conv join. Fact mentions contribute nothing but
+    shuffle bytes — they are filtered out BEFORE the exchange.
+    """
+    kv_aggs = [
+        F.first(
+            F.when((F.col("kind") == "kv") & (F.col("f1") == src), F.col("f2")),
+            ignorenulls=True,
+        ).alias(dst)
+        for src, dst in _KV_FIELDS.items()
+    ]
+    contrib_list = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("kind") == "contributor",
+                    F.struct(
+                        F.col("turn_idx").alias("k"),
+                        F.struct(
+                            F.col("f1").alias("name"),
+                            F.when(F.length("f3") > 0, F.col("f3")).alias(
+                                "affiliation"
+                            ),
+                            F.col("f2").alias("email"),
+                        ).alias("v"),
+                    ),
+                )
+            ),
+            lambda l, r: F.when(l["k"] < r["k"], -1)
+            .when(l["k"] > r["k"], 1)
+            .otherwise(0),
+        ),
+        lambda x: x["v"],
+    )
+    file_list = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("kind") == "file",
+                    F.struct(F.col("turn_idx").alias("k"), F.col("f1").alias("v")),
+                )
+            )
+        ),
+        lambda x: x["v"],
+    )
+    return (
+        mentions.filter(
+            F.col("kind").isin("round", "header", "kv", "contributor", "file")
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.first(
+                F.when(F.col("kind") == "round", F.col("f1")), ignorenulls=True
+            ).alias("round_id"),
+            F.first(
+                F.when(F.col("kind") == "header", F.col("f1")), ignorenulls=True
+            ).alias("model_name"),
+            F.first(
+                F.when(F.col("kind") == "header", F.col("f2")), ignorenulls=True
+            ).alias("model_version"),
+            F.first(
+                F.when(F.col("kind") == "header", F.col("f3")), ignorenulls=True
+            ).alias("team_abbr"),
+            F.first(
+                F.when(F.col("kind") == "header", F.col("f4")), ignorenulls=True
+            ).alias("model_abbr"),
+            F.first(
+                F.when(F.col("kind") == "header", F.col("f5")), ignorenulls=True
+            ).alias("team_name"),
+            *kv_aggs,
+            F.when(F.size(contrib_list) > 0, contrib_list).alias(
+                "model_contributors"
+            ),
+            file_list.alias("file_names"),
+        )
+    )
+
+
 _KV_FIELDS = {
     "license": "license",
     "website": "website_url",
@@ -367,12 +481,54 @@ _KV_FIELDS = {
 }
 
 
+_METADATA_COLS = [
+    "round_id", "model_name", "team_abbr", "model_abbr", "team_name",
+    "model_version", "license", "website_url", "methods", "methods_long",
+    "data_inputs", "team_funding", "model_contributors",
+]
+
+
+def conv_dim_from_wide(conv_wide: DataFrame) -> DataFrame:
+    """Slice ``conversation_wide`` output down to ``conversation_dim``'s
+    schema AND membership: the old dim only contained conversations with
+    at least one round/header mention (its groupBy ran over those kinds),
+    which is exactly the rows where round_id or model_name resolved
+    (both patterns' first groups are non-empty by construction)."""
+    return conv_wide.filter(
+        F.col("round_id").isNotNull() | F.col("model_name").isNotNull()
+    ).select(*_CONV_DIM_COLS)
+
+
+def metadata_from_conv_wide(conv_wide: DataFrame) -> DataFrame:
+    """Model-metadata dimension off the one-shuffle ``conversation_wide``
+    aggregate — same output as ``metadata_from_mentions`` (pinned by
+    ``test_metadata_wide_equals_mentions_path``) without its two extra
+    groupBy(conv_id) passes + left joins.
+
+    Winner selection is unchanged: one metadata row per (round, model),
+    first conversation (min conv_id) wins via a partial-aggregatable min +
+    broadcast semi-join — no row_number window, no hot-key reducer.
+    """
+    winners = (
+        conv_dim_from_wide(conv_wide)
+        .groupBy("round_id", "model_name")
+        .agg(F.min("conv_id").alias("conv_id"))
+    )
+    return conv_wide.join(
+        F.broadcast(winners.select("conv_id")), "conv_id", "left_semi"
+    ).select(*_METADATA_COLS)
+
+
 def metadata_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFrame:
     """Reconstruct the model-metadata dimension from kv/contributor mentions.
 
     Matches sources.synth.METADATA_SCHEMA so the hub pipeline is reusable
     unchanged. Contributor order is preserved by turn_idx (the stable
     (conv_id, turn_idx) ordering invariant).
+
+    This is the three-shuffle semantic reference; the hot path uses
+    ``metadata_from_conv_wide`` (one shared conv-level shuffle), pinned
+    equal by test.
     """
     kv = mentions.filter(F.col("kind") == "kv")
     kv_aggs = [
@@ -475,4 +631,22 @@ def files_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFrame:
         mentions.filter(F.col("kind") == "file")
         .join(conv_dim.select("conv_id", "round_id", "model_name"), "conv_id")
         .select("round_id", F.col("model_name").alias("model_id"), F.col("f1").alias("filename"))
+    )
+
+
+def files_from_conv_wide(conv_wide: DataFrame) -> DataFrame:
+    """File rows off the conv_wide filename arrays — same rows (incl.
+    duplicates) as ``files_from_mentions`` (pinned by
+    ``test_files_wide_equals_mentions_path``) with no extra mention scan:
+    the inner conv_dim join there keeps exactly the round/header-bearing
+    conversations, i.e. ``conv_dim_from_wide`` membership here."""
+    return (
+        conv_wide.filter(
+            F.col("round_id").isNotNull() | F.col("model_name").isNotNull()
+        )
+        .select(
+            "round_id",
+            F.col("model_name").alias("model_id"),
+            F.explode("file_names").alias("filename"),
+        )
     )

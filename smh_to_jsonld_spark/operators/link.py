@@ -186,7 +186,7 @@ def fuzzy_candidates_minhash(
 
 def link_locations(
     facts: DataFrame, spark: SparkSession, surface_col: str = "location_surface",
-    fuzzy_blocking: str = "prefix",
+    fuzzy_blocking: str = "prefix", vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Full linking pass: exact broadcast dictionary + fuzzy for residual
     surfaces, surface-form passthrough for true misses. Adds `location`.
@@ -196,18 +196,30 @@ def link_locations(
     "minhash" (banded MinHash over trigram sets — robust to first-char
     typos). Scoring and tie-breaks are identical either way.
 
-    Single-consumption design: the fact table is scanned once to collect
-    the DISTINCT surface vocabulary (partial-agg shuffle of a tiny set),
-    the fuzzy matcher runs only on vocabulary misses, and the union of
-    (alias dict + fuzzy matches) becomes ONE broadcast mapping joined back
-    in a single pass. The big table is never shuffled and never consumed
-    twice by the linking plan itself.
+    ``vocab``: optional cheaper source for the surface vocabulary — a
+    DataFrame with one ``surface`` column (raw forms; normalized and
+    deduped here) whose surface SET is a superset of the fact table's.
+    Without it the vocabulary pass scans ``facts`` itself, which re-executes
+    the whole upstream fact subplan (extraction + conv joins) a second
+    time per action; callers that hold a persisted upstream (e.g. the
+    mention cache in plans.pipeline.extract_and_link) pass the surface
+    column from THAT instead. Superset vocabularies are harmless: linking
+    is per-surface deterministic and the mapping stays key-unique, so
+    extra entries simply go unused by the final join.
+
+    Single-consumption design: the vocabulary is a partial-agg shuffle of
+    a tiny distinct set, the fuzzy matcher runs only on vocabulary misses,
+    and the union of (alias dict + fuzzy matches) becomes ONE broadcast
+    mapping joined back in a single pass. The big table is never shuffled
+    and never consumed twice by the linking plan itself.
     """
     from smh_to_jsonld_spark.functions.dims import alias_dim
 
     dim = alias_dim(spark)
-    surfaces = facts.select(
-        normalize_surface(F.col(surface_col)).alias("surface")
+    surfaces = (
+        vocab.select(normalize_surface(F.col("surface")).alias("surface"))
+        if vocab is not None
+        else facts.select(normalize_surface(F.col(surface_col)).alias("surface"))
     ).distinct()
     misses = surfaces.join(
         F.broadcast(dim.select(F.col("alias").alias("surface"))), "surface", "left_anti"

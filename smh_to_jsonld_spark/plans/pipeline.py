@@ -51,6 +51,12 @@ def hub_pipeline_from_frames(
     # field_values feeds THREE subplans of model_docs (the fv join,
     # _variable_measured, _spatial_coverage): persist or the per-model
     # aggregation over the whole fact table runs three times.
+    # NOTE (measured, r5): the combos formulation stays the default — at
+    # bench scale it beat the long-form explode variant 4.3s vs 5.3s
+    # (explode x7 row volume costs more than the wide-struct exchange it
+    # avoids). `aggregates.distinct_field_values_long` (pinned equal by
+    # test) is the swap-in when a corpus's combo count approaches its raw
+    # row count but the per-field value vocabulary stays small.
     field_values = aggregates.distinct_field_values(
         facts, order_col=fact_order_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -92,28 +98,47 @@ def extract_and_link(
     benchmarks.
 
     `mentions` is persisted (MEMORY_AND_DISK): it feeds four consumers
-    (conv_dim, metadata, files, facts) — without the persist the
+    (conv_wide, metadata, files, facts) — without the persist the
     extraction pass would re-run per consumer branch. At cluster scale the
     same applies; for 10^12 turns persist to a staging table instead
     (TableIO.write) and read back.
+
+    ``conv_wide`` (r5) is ALL conversation-level aggregates in one shuffle
+    (extract.conversation_wide) and is persisted too: it is
+    conversations-sized (tiny next to mentions) and feeds facts, metadata
+    and files — previously three independent groupBy(conv_id) passes over
+    the mention cache per action.
     """
     from pyspark.storagelevel import StorageLevel
 
     mentions = extract.extract_mentions(transcripts).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # NOTE (measured, r3): do NOT persist conv_dim/raw_facts here — caching
-    # the 1.2M-row fact structs costs more than the double execution it
+    # NOTE (measured, r3): do NOT persist raw_facts here — caching the
+    # 1.2M-row fact structs costs more than the double execution it
     # saves (16.9s -> 25.0s full-factory regression when tried); the
     # mention cache plus whole-stage codegen re-derives them cheaply.
-    conv_dim = extract.conversation_dim(mentions)
+    conv_wide = extract.conversation_wide(mentions).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    conv_dim = extract.conv_dim_from_wide(conv_wide)
     raw_facts = extract.facts_from_mentions(mentions, conv_dim)
+    # vocabulary for linking comes from the PERSISTED mention cache (f2 of
+    # fact mentions is the location surface), not from raw_facts: scanning
+    # raw_facts for the distinct-surface pass would re-execute the
+    # conv_dim groupBy + fact join a second time per action (r5 perf pass;
+    # measured ~2.5s/action at 1.2M turns). Mentions ⊇ facts surfaces
+    # (the conv join can only drop rows), and superset vocabularies are
+    # harmless — see link_locations.
+    vocab = mentions.filter(F.col("kind") == "fact").select(
+        F.col("f2").alias("surface")
+    )
     facts = link.link_locations(
-        raw_facts, spark, fuzzy_blocking=fuzzy_blocking
+        raw_facts, spark, fuzzy_blocking=fuzzy_blocking, vocab=vocab
     ).drop("location_surface")
     spotted = extract.spot_mentions(transcripts)  # single consumer, unpersisted
-    return {"mentions": mentions, "conv_dim": conv_dim, "facts": facts,
-            "spotted": spotted}
+    return {"mentions": mentions, "conv_wide": conv_wide, "conv_dim": conv_dim,
+            "facts": facts, "spotted": spotted}
 
 
 def kg_pipeline_from_transcripts(
@@ -141,14 +166,15 @@ def kg_pipeline_from_transcripts(
     core = extract_and_link(spark, transcripts, fuzzy_blocking=fuzzy_blocking)
     mentions, conv_dim, facts = core["mentions"], core["conv_dim"], core["facts"]
 
-    metadata = extract.metadata_from_mentions(mentions, conv_dim)
-    files = extract.files_from_mentions(mentions, conv_dim)
+    metadata = extract.metadata_from_conv_wide(core["conv_wide"])
+    files = extract.files_from_conv_wide(core["conv_wide"])
 
     result = hub_pipeline_from_frames(
         spark, metadata, facts, files, target_meta, diseases, dialect=dialect,
         fact_order_col="turn_order",
     )
     result["mentions"] = mentions
+    result["conv_wide"] = core["conv_wide"]
     result["facts"] = facts
     result["spotted"] = core["spotted"]
     if include_entities:

@@ -67,11 +67,43 @@ def test_metadata_roundtrip_equals_direct_frames(spark, spec):
     assert a == b
 
 
+def test_metadata_wide_equals_mentions_path(spark, spec):
+    """The one-shuffle conv_wide path (r5 hot path) must reproduce the
+    three-shuffle reference reconstruction exactly: same metadata rows,
+    same conv_dim membership (round/header-bearing conversations only,
+    including NULL-field shapes for header-only or round-only convs)."""
+    m = extract.extract_mentions(synth.transcripts_df(spark, spec))
+    cw = extract.conversation_wide(m)
+
+    ref_dim = extract.conversation_dim(m)
+    new_dim = extract.conv_dim_from_wide(cw)
+    a = {tuple(str(x) for x in r) for r in new_dim.collect()}
+    b = {tuple(str(x) for x in r) for r in ref_dim.collect()}
+    assert a == b
+
+    ref_meta = extract.metadata_from_mentions(m, ref_dim)
+    new_meta = extract.metadata_from_conv_wide(cw)
+    cols = sorted(ref_meta.columns)
+    assert sorted(new_meta.columns) == cols
+    a = {tuple(str(x) for x in r) for r in new_meta.select(*cols).collect()}
+    b = {tuple(str(x) for x in r) for r in ref_meta.select(*cols).collect()}
+    assert a == b
+
+
 def test_facts_roundtrip_counts(spark, spec):
     m = extract.extract_mentions(synth.transcripts_df(spark, spec))
     cd = extract.conversation_dim(m)
     rebuilt = extract.facts_from_mentions(m, cd)
     assert rebuilt.count() == len(synth.facts_rows(spec))
+
+
+def test_files_wide_equals_mentions_path(spark, spec):
+    """files_from_conv_wide must emit the same multiset of file rows as
+    the mention-scan + conv join reference path."""
+    m = extract.extract_mentions(synth.transcripts_df(spark, spec))
+    ref = extract.files_from_mentions(m, extract.conversation_dim(m))
+    new = extract.files_from_conv_wide(extract.conversation_wide(m))
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, ref.collect()))
 
 
 def test_files_roundtrip(spark, spec):

@@ -21,6 +21,36 @@ def test_distinct_field_values(spark, spec):
     assert row.output_type == ["quantile"]
 
 
+def test_field_values_long_equals_combos_path(spark, spec):
+    """The r5 long-form explode formulation must reproduce the ordered
+    combos path byte-for-byte: same columns, same per-field ORDER
+    (first-appearance), same empty-array/NULL edge shapes, same
+    max_horizon and last-appearance origin_date_max. Exercised both on
+    the fixture corpus and on a synthetic at-scale slice (many convs per
+    model, Zipf-skewed locations)."""
+    for facts in (
+        # any unique orderable column works as the order col; uniqueness
+        # matters (ties would break differently between the two paths)
+        synth.facts_df(spark, spec).withColumn(
+            "turn_order", F.monotonically_increasing_id()
+        ),
+        None,
+    ):
+        if facts is None:
+            from smh_to_jsonld_spark.operators import extract, link as linkops
+            from smh_to_jsonld_spark.plans.pipeline import extract_and_link
+
+            tr = synth.transcripts_at_scale(spark, 200, 24, partitions=8)
+            facts = extract_and_link(spark, tr)["facts"]
+        old = aggregates.distinct_field_values(facts, order_col="turn_order")
+        new = aggregates.distinct_field_values_long(facts, order_col="turn_order")
+        assert sorted(new.columns) == sorted(old.columns)
+        cols = sorted(old.columns)
+        a = sorted(tuple(str(x) for x in r) for r in new.select(*cols).collect())
+        b = sorted(tuple(str(x) for x in r) for r in old.select(*cols).collect())
+        assert a == b
+
+
 def test_merge_field_values_global(spark, spec):
     fv = aggregates.distinct_field_values(synth.facts_df(spark, spec))
     g = aggregates.merge_field_values_global(fv).filter(F.col("round_id") == "2031-01-05")

@@ -131,6 +131,7 @@ def main():
         )
     )
     core["mentions"].unpersist()
+    core["conv_wide"].unpersist()
 
     from pyspark.sql import functions as F
 
@@ -166,6 +167,30 @@ def main():
         )
     )
 
+    # --- chunked pair expansion memory envelope (r5, VERDICT r4 #6) ------
+    from smh_to_jsonld_spark.operators.dedup import _PAIR_EXPAND_CHUNK, _bucket_pairs
+
+    keyed = d.select(
+        F.col("doc_id").alias("id"), F.lit(1).alias("sz"), F.lit(0).alias("b")
+    )
+    p = plan_of(_bucket_pairs(keyed, ["b"], max_bucket=None))
+    sections.append(
+        (
+            "Candidate-pair expansion is CHUNKED — linear transient memory (r5)",
+            "`_bucket_pairs` no longer builds a bucket's full B^2/2 pair array "
+            "in one transient row (~2.4 GB at B=10k). A first explode fans "
+            f"each bucket into ceil(B/{_PAIR_EXPAND_CHUNK}) chunk rows; each "
+            f"expands a {_PAIR_EXPAND_CHUNK}-member slice against the member "
+            f"list, so peak transient is {_PAIR_EXPAND_CHUNK}*B structs — "
+            "~50 MB even at B=100k, LINEAR in bucket size — while the pair "
+            "SET is unchanged (pinned by "
+            "test_bucket_pairs_chunked_expansion_matches_unchunked). The plan "
+            "shows the two Generate stages: chunk fan-out, then pair explode.",
+            keep(p, ("Generate", "HashAggregate", "ObjectHashAggregate",
+                     "Exchange", "Project")),
+        )
+    )
+
     tr = synth.transcripts_df(spark, spec)
     core2 = extract_and_link(spark, tr)
     p = plan_of(aggregates.distinct_field_values(core2["facts"], order_col="turn_order"))
@@ -181,6 +206,7 @@ def main():
         )
     )
     core2["mentions"].unpersist()
+    core2["conv_wide"].unpersist()
 
     # --- Catalyst struct flatten (r4): model-doc triples without Python ---
     from smh_to_jsonld_spark.operators.triples import triples_from_structs
@@ -212,7 +238,35 @@ def main():
                      "BatchEvalPython")),
         )
     )
+    # --- consolidated-doc flatten bound (r5, VERDICT r4 #5) -------------
+    cons = res["consolidated"].select(
+        "round_id", F.length("doc_json").alias("doc_len")
+    ).collect()
+    hp = res["model_docs"].groupBy("round_id").count().collect()
+    n_rounds = len(cons)
+    max_len = max((r.doc_len for r in cons), default=0)
+    max_models = max((r["count"] for r in hp), default=0)
+    sections.append(
+        (
+            "Consolidated-doc flatten stays Arrow — bounded by ROUNDS (r5)",
+            "The hot path has one flattener (`triples_from_structs`, pure "
+            "Catalyst) for model docs; per-round CONSOLIDATED docs keep the "
+            "Arrow `triples_from_docs` path because their shape is "
+            "dialect-dynamic (healthCondition object-vs-array, v5 last-wins). "
+            "That path is bounded by the round count, not the corpus: this "
+            f"corpus has **{n_rounds} consolidated docs** (one per round), "
+            f"max **{max_models} models/round** (hasPart entries), max doc "
+            f"size **{max_len:,} chars**. Rounds are weekly epochs — O(100) "
+            "over a decade — so at 100 TB the consolidated flatten handles "
+            "hundreds of rows while the model-doc flatten (corpus-sized) "
+            "stays JVM-only. Same triple rules both paths, pinned by "
+            "tests/test_triples.py.",
+            f"consolidated docs = {n_rounds}; max hasPart = {max_models}; "
+            f"max doc_json = {max_len:,} chars",
+        )
+    )
     res["mentions"].unpersist()
+    res["conv_wide"].unpersist()
     res["model_docs"].unpersist()
     res["field_values"].unpersist()
 
