@@ -125,3 +125,18 @@ def cosine_sql(a: str, b: str, dim: int) -> str:
         f"({dot_vec_sql(a, b, dim)} / "
         f"(sqrt({sq_norm_sql(a, dim)}) * sqrt({sq_norm_sql(b, dim)})))"
     )
+
+
+def cosine_checked_sql(a: str, b: str, dim: int) -> str:
+    """``cosine_sql`` with a fail-loud dimension guard (ADVICE r4): the
+    unrolled form indexes element_at(v, 1..dim), and in non-ANSI mode an
+    out-of-range index yields NULL — a caller whose vectors are shorter
+    than ``dim`` would silently score every pair NULL and get an
+    empty/wrong top-k. The guard costs two size() calls per pair and
+    raises with the observed sizes instead."""
+    return (
+        f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN {cosine_sql(a, b, dim)} "
+        f"ELSE raise_error(concat('vecexpr dim mismatch: expected {dim}, got "
+        f"sizes ', size({a}), ' and ', size({b}))) END)"
+    )

@@ -66,7 +66,11 @@ def shingles(text_col, n: int = 3):
     )
 
 
-def _bucket_pairs(keyed: DataFrame, bucket_cols: list, max_bucket: int | None):
+_PAIR_EXPAND_CHUNK = 128
+
+
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list, max_bucket: int | None,
+                  chunk: int = _PAIR_EXPAND_CHUNK):
     """Shared candidate-pair generator: group rows into buckets, emit all
     ordered (id_a < id_b) pairs per bucket IN ONE PASS (collect_list +
     nested-lambda pair expansion). Compared to a bucket self-join this
@@ -76,15 +80,33 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list, max_bucket: int | None):
     ``keyed``: (id, sz, *bucket_cols). ``max_bucket``: drop buckets larger
     than this (stop-shingle filtering — at corpus scale ubiquitous shingles
     produce quadratic garbage pairs and MUST be dropped).
+
+    Memory envelope (r5, VERDICT r4 #6): the pair array for a bucket of B
+    members is built BEFORE the explode, so an unchunked expansion holds
+    B^2/2 structs in one transient row — ~24 MB at B=1000 but ~2.4 GB at
+    B=10_000, an executor-killer regardless of ``max_bucket`` accounting.
+    The outer loop is therefore CHUNKED: a first explode fans each bucket
+    into ceil(B/chunk) rows, each expanding only a ``chunk``-wide slice of
+    members against the full list — peak transient is chunk*B structs
+    (~51 MB at B=100_000, linear in B), total pair count unchanged, and
+    buckets with B <= chunk keep the exact single-pass shape. Same pair
+    SET in all cases (each member sits in exactly one chunk); row order
+    within the generator output differs, which no consumer observes
+    (all downstream uses aggregate or join the pair set).
     """
     buckets = keyed.groupBy(*bucket_cols).agg(
         F.collect_list(F.struct("id", "sz")).alias("ms")
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket)
+    nchunks = F.ceil(F.size("ms") / F.lit(chunk)).cast("int")
+    chunked = buckets.select(
+        "ms", F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("ci")
+    )
+    part = F.slice(F.col("ms"), F.col("ci") * chunk + 1, chunk)
     pairs = F.flatten(
         F.transform(
-            F.col("ms"),
+            part,
             lambda x: F.filter(
                 F.transform(
                     F.col("ms"),
@@ -99,7 +121,7 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list, max_bucket: int | None):
             ),
         )
     )
-    return buckets.select(F.explode(pairs).alias("p")).select(
+    return chunked.select(F.explode(pairs).alias("p")).select(
         "p.id_a", "p.sz_a", "p.id_b", "p.sz_b"
     )
 

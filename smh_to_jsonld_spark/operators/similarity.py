@@ -45,7 +45,10 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, rank, cosine).
     Deterministic tie-break: cosine desc, neighbor_id asc.
     Scoring is the unrolled fixed-``dim`` cosine (functions.vecexpr) —
-    whole-stage codegen, bit-identical to the HOF fold.
+    whole-stage codegen, bit-identical to the HOF fold — wrapped in a
+    size(vec)==dim guard (ADVICE r4): a caller whose vectors don't match
+    ``dim`` gets a raise_error with the observed sizes instead of the
+    silent NULL-cosine/empty-top-k the non-ANSI element_at would produce.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -56,7 +59,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.expr(vecexpr.cosine_sql("qv", "cv", dim)).alias("cosine"),
+        F.expr(vecexpr.cosine_checked_sql("qv", "cv", dim)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -109,7 +112,7 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        F.expr(vecexpr.cosine_sql("qv", "cv", dim)).alias("cosine"),
+        F.expr(vecexpr.cosine_checked_sql("qv", "cv", dim)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -189,7 +192,7 @@ def ivf_topk(
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",
         "neighbor_id",
-        F.expr(vecexpr.cosine_sql("qv", "cv", len(centroids[0]))).alias("cosine"),
+        F.expr(vecexpr.cosine_checked_sql("qv", "cv", len(centroids[0]))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -30,16 +30,33 @@ def _doc_file_writer(out_dir: str):
     Runs inside ``foreachPartition`` — each task writes ITS docs straight
     to the (shared) filesystem, nothing is collected to the driver, so the
     export parallelizes with the data. ``doc_id`` is unique per doc, so
-    file names never collide across tasks; dir creation races are benign
-    (``exist_ok``)."""
+    file names never collide across DISTINCT docs; dir creation races are
+    benign (``exist_ok``).
+
+    Write protocol (ADVICE r4): each file is written to a task-unique temp
+    name and atomically ``os.replace``d into place — a task retry or a
+    speculative duplicate of the same partition then produces a complete
+    file (last full write wins) instead of two writers interleaving into
+    one torn file. REQUIREMENT: this mode assumes executors and driver
+    share one POSIX filesystem (local mode, NFS, or a FUSE-mounted object
+    store) — ``write_jsonld_files`` fails fast when ``out_dir`` is not
+    visible on the executor; on a cluster with executor-local disks use
+    the default NDJSON mode, which goes through Hadoop's committer."""
 
     def write_partition(rows) -> None:
+        pid = os.getpid()
         for row in rows:
             rdir = Path(out_dir) / row.round_id
             rdir.mkdir(parents=True, exist_ok=True)
             name = row.doc_id.split("/")[-1].replace(":", "_") + ".jsonld"
-            with open(rdir / name, "w") as f:
-                json.dump(json.loads(row.doc_json), f, indent=2)
+            tmp = rdir / f".{name}.{pid}.tmp"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump(json.loads(row.doc_json), f, indent=2)
+                os.replace(tmp, rdir / name)  # atomic within one FS
+            finally:
+                if tmp.exists():
+                    tmp.unlink()
 
     return write_partition
 
@@ -57,7 +74,30 @@ def write_jsonld_files(
         )
         return
     # reference-style file naming (doc_id -> file), written by EXECUTORS:
-    # no driver collect, scales to any number of docs on a shared FS
+    # no driver collect, scales to any number of docs on a shared FS.
+    # Fail fast if executors don't share the driver's filesystem (ADVICE
+    # r4): probe that a driver-written marker is visible from a task —
+    # otherwise this mode would "succeed" while scattering files across
+    # executor-local disks.
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    marker = out / ".shared_fs_probe"
+    marker.write_text("probe")
+    try:
+        visible = (
+            docs.sparkSession.sparkContext.parallelize([str(marker)], 1)
+            .map(os.path.exists)
+            .collect()[0]
+        )
+    finally:
+        marker.unlink(missing_ok=True)
+    if not visible:
+        raise RuntimeError(
+            "write_jsonld_files(one_file_per_doc=True) requires a shared "
+            f"POSIX filesystem: {out_dir} is not visible from executors. "
+            "Use the default NDJSON mode on clusters with executor-local "
+            "disks."
+        )
     docs.select("round_id", "doc_id", "doc_json").foreachPartition(
         _doc_file_writer(out_dir)
     )

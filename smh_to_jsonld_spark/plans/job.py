@@ -62,9 +62,15 @@ def run_resumable_kg_job(
     lineage_note: str = "",
     fuzzy_blocking: str = "prefix",
     dialect: str = "v6",
+    neardup_max_bucket: int = 10_000,
 ) -> dict:
     """Process all uncommitted rounds; returns the committed manifest
-    (or {'skipped': ...} when nothing to do)."""
+    (or {'skipped': ...} when nothing to do).
+
+    ``neardup_max_bucket`` is the near-dup LSH bucket cap, forwarded to
+    ``rebuild_near_dups`` — the production knob for the documented
+    incremental-vs-one-shot divergence under cap pressure (see that
+    docstring; pinned by ``test_near_dup_cap_pressure_divergence``)."""
     t0 = time.perf_counter()
     conv_round = discover_round_of_conv(transcripts)
     all_rounds = {r.round_id for r in conv_round.select("round_id").distinct().collect()}
@@ -146,7 +152,10 @@ def run_resumable_kg_job(
     # corpus near-dup dedup, incrementally maintained (VERDICT r3 #3): a
     # resume commit pays signature + pairing cost for ITS docs only — the
     # batch near_dup_clusters would re-pair the whole corpus per commit.
-    neardup_stats = rebuild_near_dups(spark, io, subset, conv_round, todo, lineage)
+    neardup_stats = rebuild_near_dups(
+        spark, io, subset, conv_round, todo, lineage,
+        max_bucket=neardup_max_bucket,
+    )
 
     # node/edge KG materialization (north_rule: "materializing node/edge
     # Iceberg tables") — rebuilt from the FULL materialized triples table

@@ -76,7 +76,12 @@ def fact_triples_stream(
     + one stream-static broadcast join). Doc-level JSON-LD triples remain
     batch (they need full-conversation and corpus context); this lands
     the turn-grain fact log continuously so the batch commit starts from
-    materialized triples instead of raw text."""
+    materialized triples instead of raw text.
+
+    Late data: inherits ``dedup_stream``'s contract — turns later than the
+    watermark never reach the triple log and are upgraded by the batch
+    commit (pinned by
+    test_fact_triples_stream_late_data_drop_and_batch_upgrade)."""
     from smh_to_jsonld_spark.operators.extract import extract_mentions
     from smh_to_jsonld_spark.operators.triples import triples_from_fact_mentions
 
@@ -86,9 +91,20 @@ def fact_triples_stream(
 
 
 def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Exactly-once turn identity under replays: late duplicates of
+    """Exactly-once turn identity under replays: duplicates of
     (conv_id, turn_idx) within the watermark are dropped, state is evicted
-    past it (bounded state — mandatory at transcript scale)."""
+    past it (bounded state — mandatory at transcript scale).
+
+    Late-data contract (pinned by
+    test_fact_triples_stream_late_data_drop_and_batch_upgrade): rows whose
+    event time predates the current watermark are dropped ENTIRELY by the
+    stateful-operator late-record filter — late replays can never re-emit
+    (state eviction notwithstanding), and genuinely late NEW turns are
+    silently absent from the stream output. Downstream speed-layer tables
+    are therefore complete only up to the watermark; the batch job, which
+    re-reads the full transcript table at each commit, is the documented
+    upgrade path for late turns (the same speed/batch split as fuzzy
+    linking)."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )

@@ -433,6 +433,91 @@ def test_fact_triples_stream_matches_batch(spark, spec, tmp_path):
     assert any(len(x) == 2 and x.isdigit() for x in locs), locs
 
 
+def test_fact_triples_stream_late_data_drop_and_batch_upgrade(spark, tmp_path):
+    """Late-data contract of the speed layer (VERDICT r4 #7), pinned
+    empirically against two availableNow drains sharing one checkpoint:
+    ``dedup_stream``'s dropDuplicatesWithinWatermark subjects every row to
+    the stateful-operator LATE-RECORD FILTER, so a turn whose event time
+    predates the checkpointed watermark is dropped ENTIRELY — duplicate or
+    genuinely new — while within the watermark duplicates are dropped by
+    state and new turns pass exactly once. The streamed fact-triple log is
+    therefore complete only up to the watermark; the upgrade path for a
+    late turn is the BATCH layer (the stateless batch replica of the same
+    transforms sees it — asserted last), the same speed/batch split as
+    fuzzy linking."""
+    from datetime import datetime
+
+    from smh_to_jsonld_spark.operators import extract
+    from smh_to_jsonld_spark.operators.triples import triples_from_fact_mentions
+    from smh_to_jsonld_spark.streaming import ingest
+
+    def fact(loc):
+        return (
+            f"observed target=inc hosp; location={loc}; age_group=0-130;"
+            " output_type=quantile; scenario=A-2031-01-01;"
+            " origin_date=2031-01-05; horizon=1"
+        )
+
+    def turn(conv, idx, text, ts):
+        return (conv, idx, "tool", text, "validate",
+                datetime.fromisoformat(ts))
+
+    def mk(rows):
+        return spark.createDataFrame(rows, synth.TRANSCRIPT_SCHEMA)
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "triples")
+    ck = str(tmp_path / "ck")
+    # drain 1: two fact turns + a factless clock turn that advances the
+    # watermark (1h default) to 19:00
+    mk([
+        turn("cA", 0, fact("06"), "2026-01-01T10:00:00"),
+        turn("cB", 0, fact("08"), "2026-01-01T19:30:00"),
+        turn("cCLK", 0, "sounds good, proceeding", "2026-01-01T20:00:00"),
+    ]).write.parquet(str(src / "f1"))
+    stream = ingest.read_transcript_stream(spark, str(src) + "/*")
+    ingest.run_available_now(
+        ingest.fact_triples_stream(stream, spark), out, ck
+    )
+    # drain 2 (same checkpoint, watermark 19:00 restored): a late replay
+    # of cA/0, an in-watermark replay of cB/0, an in-watermark NEW turn
+    # cC/0, and a genuinely LATE new turn cD/0
+    late = mk([
+        turn("cA", 0, fact("06"), "2026-01-01T10:00:00"),
+        turn("cB", 0, fact("08"), "2026-01-01T19:30:00"),
+        turn("cC", 0, fact("09"), "2026-01-01T19:45:00"),
+        turn("cD", 0, fact("10"), "2026-01-01T10:30:00"),
+    ])
+    late.write.parquet(str(src / "f2"))
+    ingest.run_available_now(
+        ingest.fact_triples_stream(
+            ingest.read_transcript_stream(spark, str(src) + "/*"), spark
+        ),
+        out, ck,
+    )
+    rows = spark.read.parquet(out).collect()
+    per_subj: dict = {}
+    for r in rows:
+        per_subj[r.subj] = per_subj.get(r.subj, 0) + 1
+    # replays (late or in-watermark) emitted nothing twice; the
+    # in-watermark new turn landed; the LATE new turn is absent
+    n_fields = per_subj["kg:conv/cA/turn/0"]
+    assert per_subj == {
+        "kg:conv/cA/turn/0": n_fields,
+        "kg:conv/cB/turn/0": n_fields,
+        "kg:conv/cC/turn/0": n_fields,
+    }, per_subj
+    # the batch layer upgrades the dropped turn: the same stateless
+    # transforms over the full transcript table DO see cD/0
+    batch_subjs = {
+        r.subj
+        for r in triples_from_fact_mentions(
+            extract.extract_mentions(late), spark
+        ).collect()
+    }
+    assert "kg:conv/cD/turn/0" in batch_subjs
+
+
 def test_doc_signature_stream_matches_batch(spark, tmp_path):
     """Speed-layer dedup front end: streamed per-doc MinHash signatures
     (stateless row-wise projection) must be VALUE-IDENTICAL to the batch
@@ -616,3 +701,74 @@ def test_job_writes_node_edge_tables(spark, spec, tmp_path):
         nodes.select(F.col("iri").alias("obj")), "obj", "left_anti"
     ).count()
     assert dangling == 0
+
+
+def test_near_dup_cap_pressure_divergence(spark, spec, tmp_path):
+    """Pins the DOCUMENTED cap contract (plans/job.py rebuild_near_dups,
+    VERDICT r4 #4) when band buckets outgrow ``max_bucket`` ACROSS
+    commits: (1) edges committed while their buckets were under the cap
+    are KEPT, never retracted; (2) the over-cap buckets the later commit
+    drops are SURFACED in the manifest (``dropped_buckets`` > 0), and
+    drop candidate generation on both the incremental and one-shot paths;
+    (3) the divergence direction is incremental recall >= one-shot. This
+    test fails if any of the three flips.
+
+    Construction: a 60-token core. Round A holds TEN byte-identical
+    core-only docs — commit 1's family buckets have 10 members (cap=12;
+    ambient spec-corpus buckets max out at 5 in a single round), so
+    C(10,2)=45 edges commit with zero drops. Round B adds SEVEN docs =
+    core + 20 DISTINCT extra tokens each: most of their band minima still
+    come from core shingles, pushing the corpus-wide core buckets past
+    the cap (10 + colliding B-docs > 12) — dropped and counted — while
+    their exact Jaccard against everything (J ~ 0.62-0.74) sits below the
+    0.8 threshold, so no new edge can verify regardless of which residual
+    buckets survive: commit 2 must leave the cap-doc edge set EXACTLY as
+    commit 1 left it. (A strict-superset construction is impossible here:
+    round headers live in the doc text, so cross-round docs can never be
+    signature-identical, and the one-shot build may legitimately recover
+    the round-A pairs through residual <=cap buckets — hence the pinned
+    contract is >=, the documented direction, not >.)
+    """
+    from smh_to_jsonld_spark.sources.synth import TRANSCRIPT_SCHEMA
+
+    core = [f"cap{i:03d}" for i in range(60)]
+    extras = lambda tag: [f"x{tag}{i:02d}" for i in range(20)]
+    rA, rB = "2031-01-05", "2031-02-02"
+    fam_a = [(rA, f"a{i}", core) for i in range(10)]
+    fam_b = [(rB, f"d{i}", core + extras(f"d{i}")) for i in range(7)]
+    rows = []
+    for rnd, tag, toks in fam_a + fam_b:
+        rows += _dup_conv_rows(f"conv-{rnd}-zcap{tag}", rnd, toks)
+    custom = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    tr = synth.transcripts_df(spark, spec).unionByName(custom)
+    tm = synth.target_metadata_df(spark, spec)
+    dz = synth.diseases_df(spark, spec)
+
+    cap_docs = {f"conv-{r}-zcap{t}" for r, t, _ in fam_a + fam_b}
+    edge_set = lambda io_: {
+        (r.id_a, r.id_b)
+        for r in io_.read(spark, "neardup_edges").collect()
+        if r.id_a in cap_docs or r.id_b in cap_docs
+    } if io_.exists(spark, "neardup_edges") else set()
+
+    io_inc = TableIO(str(tmp_path / "wh_cap_inc"))
+    m1 = run_resumable_kg_job(
+        spark, tr.filter(~F.col("conv_id").contains(rB)), tm, dz, io_inc,
+        neardup_max_bucket=12,
+    )
+    assert m1["metrics"]["near_dup"]["dropped_buckets"] == 0
+    committed_under_cap = edge_set(io_inc)
+    assert len(committed_under_cap) == 45  # C(10,2) identical round-A docs
+
+    m2 = run_resumable_kg_job(spark, tr, tm, dz, io_inc, neardup_max_bucket=12)
+    assert m2["metrics"]["near_dup"]["dropped_buckets"] > 0  # surfaced, not silent
+    inc_edges = edge_set(io_inc)
+    assert inc_edges == committed_under_cap  # kept verbatim, nothing added
+
+    io_one = TableIO(str(tmp_path / "wh_cap_one"))
+    m_one = run_resumable_kg_job(spark, tr, tm, dz, io_one, neardup_max_bucket=12)
+    assert m_one["metrics"]["near_dup"]["dropped_buckets"] > 0
+    one_edges = edge_set(io_one)
+    # the pinned contract: incremental recall >= one-shot, and nothing
+    # outside the under-cap-committed set ever appears
+    assert one_edges <= inc_edges == committed_under_cap

@@ -119,6 +119,20 @@ def test_near_dup_clusters_wide_ids_and_negative_reject(spark):
         dedup.near_dup_clusters(neg, threshold=0.7).collect()
 
 
+def test_bucket_pairs_chunked_expansion_matches_unchunked(spark):
+    """r5 memory hardening: the chunked outer expansion must emit exactly
+    the unchunked pair set — every (a<b) pair once — for buckets larger
+    than the chunk, and stay a true single pass for buckets within it."""
+    from smh_to_jsonld_spark.operators.dedup import _bucket_pairs
+
+    rows = [(i, 1, 7) for i in range(300)] + [(1000 + i, 1, 9) for i in range(5)]
+    keyed = spark.createDataFrame(rows, "id long, sz int, g long")
+    a = {(r.id_a, r.id_b) for r in _bucket_pairs(keyed, ["g"], None, chunk=128).collect()}
+    b = {(r.id_a, r.id_b) for r in _bucket_pairs(keyed, ["g"], None, chunk=10**6).collect()}
+    assert a == b
+    assert len(a) == 300 * 299 // 2 + 5 * 4 // 2
+
+
 def test_jaccard_default_cap_drops_stop_shingles(spark):
     """VERDICT r3 #1: the default max_bucket is now FINITE — a degenerate
     stop-shingle bucket ('the' in every doc) no longer expands
@@ -274,6 +288,20 @@ def test_brute_force_topk_exact(spark):
     corpus = df.filter(F.col("vec_id") != 0)
     got = similarity.brute_force_topk(corpus, queries, k=2, dim=4).collect()
     assert [(r.neighbor_id, r.rank) for r in got] == [(10, 1), (1, 2)]
+
+
+def test_brute_force_topk_dim_mismatch_fails_loudly(spark):
+    """ADVICE r4: a dim argument that disagrees with the actual vector
+    length must raise (with the observed sizes), not silently NULL every
+    cosine and return an empty/wrong top-k."""
+    import pytest
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == 0)
+    corpus = df.filter(F.col("vec_id") != 0)
+    with pytest.raises(Exception, match="dim mismatch"):
+        similarity.brute_force_topk(corpus, queries, k=2, dim=16).collect()
 
 
 def test_lsh_topk_recall_on_testdata(spark):
