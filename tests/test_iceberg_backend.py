@@ -11,6 +11,8 @@ days(ts)+bucket(conv_id) transcript DDL, and writeTo commits.
 Jar-fetch retry log (per-round, VERDICT r3 task 8):
 - 2026-08-17 (r4): `curl repo1.maven.org` -> "Could not resolve host";
   DNS still blackholed, jar unfetchable, tests below stay skipped.
+- 2026-08-17 (r5): retried `curl https://repo1.maven.org/maven2/` and
+  `socket.gethostbyname` -> "Name or service not known"; unchanged.
 """
 
 import pytest
