@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smh_to_jsonld_spark.functions import exprcache
+
 # Fields extracted from model-output facts — everything except `value`
 # (the reference excludes `value` at utils/model_output_smh.py:66-70).
 FACT_FIELDS = (
@@ -57,35 +59,48 @@ def distinct_field_values(
         aggs.append(F.max("origin_date").alias("origin_date_max"))
         return facts.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
-    combos = facts.groupBy(*[F.col(k) for k in list(keys) + fields]).agg(
-        F.min(order_col).alias("__o")
-    )
-    # ONE collect_list + ONE sort shared by every field (collecting seven
-    # separate struct lists made the object agg ~7x more expensive); each
-    # field is then a cheap transform + first-wins array_distinct over the
-    # already-ordered array, with NULLs dropped after distinct.
-    pairs = F.array_sort(
-        F.collect_list(
-            F.struct(F.col("__o").alias("o"), *[F.col(c).alias(c) for c in fields])
-        )
-    )
-    out = combos.groupBy(*[F.col(k) for k in keys]).agg(
-        pairs.alias("__pairs"), F.max("horizon").alias("max_horizon")  # A3
-    )
-    def _field_arr(name: str):
-        # closure helper, NOT a default-arg lambda: a 2-param transform
-        # lambda would bind (element, INDEX) and shadow the default
-        return F.filter(
-            F.array_distinct(F.transform(F.col("__pairs"), lambda s: s[name])),
-            lambda x: x.isNotNull(),
+    def build():
+        # ONE collect_list + ONE sort shared by every field (collecting
+        # seven separate struct lists made the object agg ~7x more
+        # expensive); each field is then a cheap transform + first-wins
+        # array_distinct over the already-ordered array, with NULLs
+        # dropped after distinct.
+        pairs = F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__o").alias("o"), *[F.col(c).alias(c) for c in fields])
+            )
         )
 
-    for c in fields:
-        out = out.withColumn(c, _field_arr(c))
-    out = out.drop("__pairs")
-    # reference last-origin-date-wins (utils/temporal.py): the last
-    # distinct origin_date in first-appearance order, NOT max().
-    return out.withColumn("origin_date_max", F.element_at("origin_date", -1))
+        def _field_arr(name: str):
+            # closure helper, NOT a default-arg lambda: a 2-param transform
+            # lambda would bind (element, INDEX) and shadow the default
+            return F.filter(
+                F.array_distinct(F.transform(F.col("__pairs"), lambda s: s[name])),
+                lambda x: x.isNotNull(),
+            ).alias(name)
+
+        min_order = F.min(order_col).alias("__o")
+        aggs = (pairs.alias("__pairs"), F.max("horizon").alias("max_horizon"))
+        field_arrs = [_field_arr(c) for c in fields]
+        # reference last-origin-date-wins (utils/temporal.py): the last
+        # distinct origin_date in first-appearance order, NOT max().
+        odm = F.element_at(
+            F.filter(
+                F.array_distinct(
+                    F.transform(F.col("__pairs"), lambda s: s["origin_date"])
+                ),
+                lambda x: x.isNotNull(),
+            ),
+            -1,
+        ).alias("origin_date_max")
+        return min_order, aggs, field_arrs, odm
+
+    min_order, aggs, field_arrs, odm = exprcache.memo(
+        f"agg.dfv:{keys}:{tuple(fields)}:{order_col}", build
+    )
+    combos = facts.groupBy(*[F.col(k) for k in list(keys) + fields]).agg(min_order)
+    out = combos.groupBy(*[F.col(k) for k in keys]).agg(*aggs)  # A3 max_horizon
+    return out.select(*keys, "max_horizon", *field_arrs, odm)
 
 
 _FIELD_CASTS = {"origin_date": "date", "horizon": "int"}  # others stay string

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smh_to_jsonld_spark.functions import scalars
+from smh_to_jsonld_spark.functions import exprcache, scalars
 from smh_to_jsonld_spark.operators.joins import location_lookup
 
 JSON_OPTS = {"ignoreNullFields": "true"}
@@ -73,36 +73,44 @@ def _variable_measured(
         )
     else:
         pairs = pairs.filter(F.array_contains(F.col("__observed"), F.col("target_id")))
-    alt_name = (
-        F.col("alternative_name") if dialect == "v6" else F.lit(None).cast("string")
-    )
-    target_obj = F.struct(
-        F.lit("PropertyValue").alias("@type"),
-        F.coalesce(_NONEMPTY(F.col("target_name")), F.col("target_id")).alias("name"),
-        F.col("uri").alias("identifier"),
-        alt_name.alias("alternateName"),
-        F.col("description").alias("description"),
-        F.col("target_units").alias("unitText"),
-        F.col("target_id").alias("target_id"),
-        F.col("target_type").alias("target_type"),
-        F.col("target_keys").alias("target_keys"),
-        F.when(F.size("available_output_types") > 0, F.col("available_output_types")).alias(
-            "available_output_types"
-        ),
-        F.when(
-            F.col("is_step_ahead") & F.col("time_unit").isNotNull(), F.col("time_unit")
-        ).alias("temporalUnit"),
-    )
-    return (
+    has_pos = "target_pos" in target_meta.columns
+
+    def build():
+        alt_name = (
+            F.col("alternative_name") if dialect == "v6"
+            else F.lit(None).cast("string")
+        )
+        target_obj = F.struct(
+            F.lit("PropertyValue").alias("@type"),
+            F.coalesce(_NONEMPTY(F.col("target_name")), F.col("target_id")).alias("name"),
+            F.col("uri").alias("identifier"),
+            alt_name.alias("alternateName"),
+            F.col("description").alias("description"),
+            F.col("target_units").alias("unitText"),
+            F.col("target_id").alias("target_id"),
+            F.col("target_type").alias("target_type"),
+            F.col("target_keys").alias("target_keys"),
+            F.when(F.size("available_output_types") > 0, F.col("available_output_types")).alias(
+                "available_output_types"
+            ),
+            F.when(
+                F.col("is_step_ahead") & F.col("time_unit").isNotNull(), F.col("time_unit")
+            ).alias("temporalUnit"),
+        )
         # order by tasks-config insertion position (target_pos) when the
         # dim carries it — build_target_objects iterates dict order
         # (create_jsonld_v6_0_0.py:239) — else fall back to target_id
-        pairs.select("round_id", "model_id",
-                     F.struct((F.col("target_pos") if "target_pos" in target_meta.columns
-                               else F.col("target_id")).alias("k"),
-                              target_obj.alias("v")).alias("__kv"))
+        kv = F.struct(
+            (F.col("target_pos") if has_pos else F.col("target_id")).alias("k"),
+            target_obj.alias("v"),
+        ).alias("__kv")
+        return kv, _sorted_values(F.collect_list("__kv")).alias("variableMeasured")
+
+    kv, vm_agg = exprcache.memo(f"emit.vm:{dialect}:{has_pos}", build)
+    return (
+        pairs.select("round_id", "model_id", kv)
         .groupBy("round_id", "model_id")
-        .agg(_sorted_values(F.collect_list("__kv")).alias("variableMeasured"))
+        .agg(vm_agg)
     )
 
 
@@ -118,35 +126,40 @@ def _spatial_coverage(field_values: DataFrame, spark: SparkSession) -> DataFrame
         "round_id", "model_id", F.posexplode_outer("location").alias("pos", "fips")
     )
     enriched = location_lookup(locs, spark, fips_col="fips")
-    ctx = F.struct(
-        F.lit("http://www.iso.org/iso-3166-1#").alias("iso3166-1"),
-        F.lit("http://www.iso.org/iso-3166-2#").alias("iso3166-2"),
-        F.lit("http://www.geonames.org/ontology#").alias("gn"),
-        F.lit("http://www.w3.org/2003/01/geo/wgs84_pos#").alias("geo"),
-    )
-    node = F.struct(
-        ctx.alias("@context"),
-        F.col("location_iri").alias("@id"),
-        F.lit("gn:Feature").alias("@type"),
-        F.col("location_name").alias("gn:name"),
-        F.lit("US").alias("iso3166-1:alpha2"),
-        F.lit("USA").alias("iso3166-1:alpha3"),
-        F.lit("840").alias("iso3166-1:numeric"),
-        F.col("fips").cast("string").alias("gn:fipsCode"),
-        F.when(
-            F.length(F.coalesce(F.col("state_abbr"), F.lit(""))) > 0,
-            F.concat(F.lit("US-"), F.col("state_abbr")),
-        ).alias("iso3166-2:code"),
-    )
-    # collect_list skips NULL entries => zero-location models collect []
-    kv = F.when(
-        F.col("fips").isNotNull(),
-        F.struct(F.col("pos").alias("k"), node.alias("v")),
-    )
+
+    def build():
+        ctx = F.struct(
+            F.lit("http://www.iso.org/iso-3166-1#").alias("iso3166-1"),
+            F.lit("http://www.iso.org/iso-3166-2#").alias("iso3166-2"),
+            F.lit("http://www.geonames.org/ontology#").alias("gn"),
+            F.lit("http://www.w3.org/2003/01/geo/wgs84_pos#").alias("geo"),
+        )
+        node = F.struct(
+            ctx.alias("@context"),
+            F.col("location_iri").alias("@id"),
+            F.lit("gn:Feature").alias("@type"),
+            F.col("location_name").alias("gn:name"),
+            F.lit("US").alias("iso3166-1:alpha2"),
+            F.lit("USA").alias("iso3166-1:alpha3"),
+            F.lit("840").alias("iso3166-1:numeric"),
+            F.col("fips").cast("string").alias("gn:fipsCode"),
+            F.when(
+                F.length(F.coalesce(F.col("state_abbr"), F.lit(""))) > 0,
+                F.concat(F.lit("US-"), F.col("state_abbr")),
+            ).alias("iso3166-2:code"),
+        )
+        # collect_list skips NULL entries => zero-location models collect []
+        kv = F.when(
+            F.col("fips").isNotNull(),
+            F.struct(F.col("pos").alias("k"), node.alias("v")),
+        ).alias("__kv")
+        return kv, _sorted_values(F.collect_list("__kv")).alias("spatialCoverage")
+
+    kv, sc_agg = exprcache.memo("emit.sc", build)
     return (
-        enriched.select("round_id", "model_id", kv.alias("__kv"))
+        enriched.select("round_id", "model_id", kv)
         .groupBy("round_id", "model_id")
-        .agg(_sorted_values(F.collect_list("__kv")).alias("spatialCoverage"))
+        .agg(sc_agg)
     )
 
 
@@ -181,6 +194,26 @@ def model_docs(
         fv.withColumnRenamed("model_id", "model_name"), ["round_id", "model_name"], "left"
     )
 
+    enriched, doc = exprcache.memo("emit.doc", _build_doc_exprs)
+
+    return df.select(
+        "round_id",
+        "model_name",
+        F.concat(F.lit("doc:"), F.col("round_id"), F.lit("/"), F.col("model_name")).alias(
+            "doc_id"
+        ),
+        F.to_json(doc, JSON_OPTS).alias("doc_json"),
+        # the typed pre-to_json document: triples.triples_from_structs
+        # flattens THIS column JVM-side, skipping the JSON round-trip
+        doc.alias("doc_struct"),
+        enriched.alias("enriched"),
+    )
+
+
+def _build_doc_exprs():
+    """The (dialect-independent) document expression tree — built once per
+    process (exprcache): ~150 Column constructions, measured ~1s of py4j
+    plan-build per query before memoization."""
     enriched = F.col("output_type").isNotNull()  # model had any facts
 
     encoding = F.when(
@@ -280,18 +313,7 @@ def model_docs(
         F.when(enriched, work_example).alias("workExample"),
     )
 
-    return df.select(
-        "round_id",
-        "model_name",
-        F.concat(F.lit("doc:"), F.col("round_id"), F.lit("/"), F.col("model_name")).alias(
-            "doc_id"
-        ),
-        F.to_json(doc, JSON_OPTS).alias("doc_json"),
-        # the typed pre-to_json document: triples.triples_from_structs
-        # flattens THIS column JVM-side, skipping the JSON round-trip
-        doc.alias("doc_struct"),
-        enriched.alias("enriched"),
-    )
+    return enriched, doc
 
 
 CONSOLIDATED_SCHEMA = "round_id string, doc_id string, doc_json string"
@@ -309,16 +331,18 @@ def consolidated_round_docs(
     - v6: 1 disease => object, >1 => array (create_jsonld_v6_0_0.py:425-428)
     - v5: LAST disease wins, always an object (utils/jsonld.py:223-231)
     """
-    disease_arrays = diseases.groupBy("round_id").agg(
-        F.to_json(
+    dz_agg = exprcache.memo(
+        "emit.dz_agg",
+        lambda: F.to_json(
             F.transform(
                 F.sort_array(
                     F.collect_list(F.struct("disease_idx", "name", "uri"))
                 ),
                 lambda d: F.struct(d["name"].alias("name"), d["uri"].alias("uri")),
             )
-        ).alias("diseases_json")
+        ).alias("diseases_json"),
     )
+    disease_arrays = diseases.groupBy("round_id").agg(dz_agg)
     joined = docs.join(disease_arrays, "round_id", "left")
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smh_to_jsonld_spark.functions import exprcache
+
 MENTION_SCHEMA = (
     "conv_id string, turn_idx int, kind string, f1 string, f2 string,"
     " f3 string, f4 string, f5 string, f6 string, f7 string"
@@ -150,36 +152,43 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     Spark's RegExpReplace pays StringBuffer + UTF8String round-trips that
     outweigh re-running the (anchored, cheap) pattern per group, so the
     extract form stays. The measured win was branch ORDER (fact-first,
-    see _ANCHORED).
+    see _ANCHORED). The expression tree is memoized (functions.exprcache):
+    it is a pure function of the pattern table, and rebuilding it cost
+    ~0.25s of py4j round-trips per query.
     """
-    text = F.col("text")
 
-    def pat_struct(kind: str, pat: str, n_groups: int):
-        fields = [F.lit(kind).alias("kind")]
-        for i in range(1, 8):
-            fields.append(
-                F.regexp_extract(text, pat, i).alias(f"f{i}")
-                if i <= n_groups
-                else F.lit(None).cast("string").alias(f"f{i}")
+    def build():
+        text = F.col("text")
+
+        def pat_struct(kind: str, pat: str, n_groups: int):
+            fields = [F.lit(kind).alias("kind")]
+            for i in range(1, 8):
+                fields.append(
+                    F.regexp_extract(text, pat, i).alias(f"f{i}")
+                    if i <= n_groups
+                    else F.lit(None).cast("string").alias(f"f{i}")
+                )
+            return F.struct(*fields)
+
+        mention = None
+        for kind, pat, n in _ANCHORED:
+            branch = (mention.when if mention is not None else F.when)(
+                text.rlike(pat), pat_struct(kind, pat, n)
             )
-        return F.struct(*fields)
-
-    mention = None
-    for kind, pat, n in _ANCHORED:
-        branch = (mention.when if mention is not None else F.when)(
-            text.rlike(pat), pat_struct(kind, pat, n)
-        )
-        mention = branch
-
-    return (
-        transcripts.select("conv_id", "turn_idx", "text")
-        .filter(text.rlike(_PREFILTER))
-        .select("conv_id", "turn_idx", mention.alias("m"))
-        .filter(F.col("m").isNotNull())
-        .select(
-            "conv_id", "turn_idx", F.col("m.kind").alias("kind"),
+            mention = branch
+        out_cols = (
+            F.col("conv_id"), F.col("turn_idx"), F.col("m.kind").alias("kind"),
             *[F.col(f"m.f{i}").alias(f"f{i}") for i in range(1, 8)],
         )
+        return text.rlike(_PREFILTER), mention.alias("m"), out_cols
+
+    prefilter, mention_m, out_cols = exprcache.memo("extract.mentions", build)
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .filter(prefilter)
+        .select("conv_id", "turn_idx", mention_m)
+        .filter(F.col("m").isNotNull())
+        .select(*out_cols)
     )
 
 
@@ -287,15 +296,19 @@ def spot_mentions(transcripts: DataFrame, passthrough: tuple = ()) -> DataFrame:
     ``passthrough``: extra input columns carried onto every emitted
     mention row (e.g. ``("ts",)`` so a streaming consumer can window on
     event time). Stateless, so the operator is stream-safe as-is."""
-    terms = F.regexp_extract_all(
-        F.col("text"), F.lit(_spot_combined_pattern()), F.lit(1)
-    )
-    concept_lits = F.array(*[F.lit(t) for t in sorted(_CONCEPT_TERMS)])
-    kind = (
-        F.when(F.col("term").rlike(r"^\d{4}-\d{2}-\d{2}$"), F.lit("date"))
-        .when(F.array_contains(concept_lits, F.col("term")), F.lit("concept"))
-        .otherwise(F.lit("entity"))
-    )
+    def build():
+        t = F.regexp_extract_all(
+            F.col("text"), F.lit(_spot_combined_pattern()), F.lit(1)
+        )
+        concept_lits = F.array(*[F.lit(x) for x in sorted(_CONCEPT_TERMS)])
+        k = (
+            F.when(F.col("term").rlike(r"^\d{4}-\d{2}-\d{2}$"), F.lit("date"))
+            .when(F.array_contains(concept_lits, F.col("term")), F.lit("concept"))
+            .otherwise(F.lit("entity"))
+        )
+        return t, k
+
+    terms, kind = exprcache.memo("extract.spot", build)
     extra = list(passthrough)
     return (
         transcripts.select(
@@ -396,7 +409,15 @@ def conversation_wide(mentions: DataFrame) -> DataFrame:
     collecting them here saves the file-histogram branch its own full
     mention-cache scan + conv join. Fact mentions contribute nothing but
     shuffle bytes — they are filtered out BEFORE the exchange.
+
+    The filter + aggregate expression list is memoized (exprcache) — a
+    pure function of the kind/kv tables, ~0.2s of py4j build per query.
     """
+    pre, aggs = exprcache.memo("extract.conv_wide", _build_conv_wide_exprs)
+    return mentions.filter(pre).groupBy("conv_id").agg(*aggs)
+
+
+def _build_conv_wide_exprs():
     kv_aggs = [
         F.first(
             F.when((F.col("kind") == "kv") & (F.col("f1") == src), F.col("f2")),
@@ -438,37 +459,33 @@ def conversation_wide(mentions: DataFrame) -> DataFrame:
         ),
         lambda x: x["v"],
     )
-    return (
-        mentions.filter(
-            F.col("kind").isin("round", "header", "kv", "contributor", "file")
-        )
-        .groupBy("conv_id")
-        .agg(
-            F.first(
-                F.when(F.col("kind") == "round", F.col("f1")), ignorenulls=True
-            ).alias("round_id"),
-            F.first(
-                F.when(F.col("kind") == "header", F.col("f1")), ignorenulls=True
-            ).alias("model_name"),
-            F.first(
-                F.when(F.col("kind") == "header", F.col("f2")), ignorenulls=True
-            ).alias("model_version"),
-            F.first(
-                F.when(F.col("kind") == "header", F.col("f3")), ignorenulls=True
-            ).alias("team_abbr"),
-            F.first(
-                F.when(F.col("kind") == "header", F.col("f4")), ignorenulls=True
-            ).alias("model_abbr"),
-            F.first(
-                F.when(F.col("kind") == "header", F.col("f5")), ignorenulls=True
-            ).alias("team_name"),
-            *kv_aggs,
-            F.when(F.size(contrib_list) > 0, contrib_list).alias(
-                "model_contributors"
-            ),
-            file_list.alias("file_names"),
-        )
+    pre = F.col("kind").isin("round", "header", "kv", "contributor", "file")
+    aggs = (
+        F.first(
+            F.when(F.col("kind") == "round", F.col("f1")), ignorenulls=True
+        ).alias("round_id"),
+        F.first(
+            F.when(F.col("kind") == "header", F.col("f1")), ignorenulls=True
+        ).alias("model_name"),
+        F.first(
+            F.when(F.col("kind") == "header", F.col("f2")), ignorenulls=True
+        ).alias("model_version"),
+        F.first(
+            F.when(F.col("kind") == "header", F.col("f3")), ignorenulls=True
+        ).alias("team_abbr"),
+        F.first(
+            F.when(F.col("kind") == "header", F.col("f4")), ignorenulls=True
+        ).alias("model_abbr"),
+        F.first(
+            F.when(F.col("kind") == "header", F.col("f5")), ignorenulls=True
+        ).alias("team_name"),
+        *kv_aggs,
+        F.when(F.size(contrib_list) > 0, contrib_list).alias(
+            "model_contributors"
+        ),
+        file_list.alias("file_names"),
     )
+    return pre, aggs
 
 
 _KV_FIELDS = {
@@ -609,21 +626,28 @@ def facts_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFrame:
     """Fact mentions -> raw fact rows (location still a surface form —
     entity linking happens downstream in operators.link)."""
     facts = mentions.filter(F.col("kind") == "fact")
-    return facts.join(conv_dim.select("conv_id", "round_id", "model_name"), "conv_id").select(
-        "round_id",
-        F.col("model_name").alias("model_id"),
-        # stable (conv_id, turn_idx) order carried so downstream distinct
-        # lists can replicate the reference's first-appearance ordering
-        F.struct(F.col("conv_id"), F.col("turn_idx")).alias("turn_order"),
-        F.to_date("f6").alias("origin_date"),
-        F.col("f5").alias("scenario_id"),
-        F.col("f2").alias("location_surface"),
-        F.col("f3").alias("age_group"),
-        F.col("f1").alias("target"),
-        F.col("f7").cast("int").alias("horizon"),
-        F.col("f4").alias("output_type"),
-        F.lit(None).cast("double").alias("value"),
+    cols = exprcache.memo(
+        "extract.fact_cols",
+        lambda: (
+            F.col("round_id"),
+            F.col("model_name").alias("model_id"),
+            # stable (conv_id, turn_idx) order carried so downstream
+            # distinct lists can replicate the reference's
+            # first-appearance ordering
+            F.struct(F.col("conv_id"), F.col("turn_idx")).alias("turn_order"),
+            F.to_date("f6").alias("origin_date"),
+            F.col("f5").alias("scenario_id"),
+            F.col("f2").alias("location_surface"),
+            F.col("f3").alias("age_group"),
+            F.col("f1").alias("target"),
+            F.col("f7").cast("int").alias("horizon"),
+            F.col("f4").alias("output_type"),
+            F.lit(None).cast("double").alias("value"),
+        ),
     )
+    return facts.join(
+        conv_dim.select("conv_id", "round_id", "model_name"), "conv_id"
+    ).select(*cols)
 
 
 def files_from_mentions(mentions: DataFrame, conv_dim: DataFrame) -> DataFrame:

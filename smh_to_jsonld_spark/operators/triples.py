@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smh_to_jsonld_spark.functions import exprcache
+
 TRIPLE_SCHEMA = "subj string, pred string, obj string"
 
 
@@ -376,9 +378,15 @@ def triples_from_structs(
     if not isinstance(dt, StructType):
         raise TypeError(f"{struct_col} must be a struct, got {dt}")
     sql = flatten_sql_for(dt, id_col, struct_col)
+    # the parsed Column is memoized too: F.expr re-parses the (large)
+    # flatten text JVM-side on every call otherwise
+    exploded = exprcache.memo(
+        f"triples.flatten:{hash(sql)}",
+        lambda: F.explode(F.expr(sql)).alias("__t"),
+    )
     return (
         docs.filter(F.col(struct_col).isNotNull())
-        .select(F.explode(F.expr(sql)).alias("__t"), *extra)
+        .select(exploded, *extra)
         .select("__t.subj", "__t.pred", "__t.obj", *extra)
     )
 
