@@ -112,6 +112,12 @@ def main():
     ref_conv = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
 
     os.environ.setdefault("SMHKG_LOCAL_DIR", "/dev/shm/spark-soak-local")
+    # heap sizing finding (r5): the engine's 8g default driver heap (fine
+    # for the 1.2M-turn bench and CLI) OOMs the single-JVM local mode at
+    # 12M turns — the whole cluster's working set (shuffle read-ahead,
+    # cache, CC fixpoint) lands in ONE heap here. 64g ~= 2g/core x 32,
+    # the per-executor sizing a real cluster would get.
+    os.environ.setdefault("SMHKG_DRIVER_MEM", "64g")
     from smh_to_jsonld_spark.session import get_spark
 
     spark = get_spark(
@@ -146,7 +152,10 @@ triple flatten, incremental near-dup, node/edge tables, manifest — over
 | spill (disk) | {ref['spill_disk_gb']} GiB | {big['spill_disk_gb']} GiB |
 | rounds committed | {len(ref['rounds_committed'])} | {len(big['rounds_committed'])} |
 
-JVM peak RSS (VmHWM, both runs): **{peak} GiB**.
+JVM peak RSS (VmHWM, both runs): **{peak} GiB** (heap
+{os.environ["SMHKG_DRIVER_MEM"]}; the engine's 8g default OOMed this
+volume in single-JVM local mode — one heap absorbs the whole cluster's
+working set here; a real cluster sizes ~2g/core per executor).
 
 **10x scaling ratio: {ratio}** (soak turns/s / reference turns/s; the
 VERDICT r4 #3 gate is >= 0.7, i.e. within 30%). Spill pathology check:
