@@ -53,17 +53,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 def shingles(text_col, n: int = 3):
-    """Array of n-token shingles (distinct), pure Catalyst."""
+    """Array of n-token shingles (distinct), pure Catalyst.
+
+    Perf shape (r6): higher-order-function lambdas are interpreted and
+    break whole-stage codegen; worse, when a consumer explodes this
+    array, the optimizer infers a ``size(sh) > 0`` predicate and pushes
+    the WHOLE expression into the scan-side Filter, where codegen's
+    subexpression elimination evaluates it EAGERLY for every input row —
+    before any cheap pushed filter short-circuits (measured: the
+    jaccard_pairs bench query spent 29.5 of 30.1s evaluating shingles of
+    unfiltered rows at sf1.0). Therefore:
+    - n=1 is EXACTLY ``array_distinct(tokens)`` (token order preserved,
+      first occurrence kept; split never yields NULL elements and
+      returns [""] for empty text, so the k<=0 branch was unreachable) —
+      pure codegen, fuses into the scan stage.
+    - n>1 binds the token array ONCE through a single-element transform
+      (the lambda variable is the binder), so the per-element lambda
+      indexes a bound array instead of re-evaluating the regex split per
+      element (interpreted HOFs do no common-subexpression elimination
+      across lambda invocations — an O(k^2) regex blowup).
+    Both forms produce bit-identical arrays to the r5 originals.
+    """
     toks = tokens_of(F.lower(text_col))
-    k = F.size(toks) - (n - 1)
-    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    if n == 1:
+        return F.array_distinct(toks)
+
+    def sh_of(tk):
+        k = F.size(tk) - (n - 1)
+        return F.when(k <= 0, F.array(F.concat_ws(" ", tk))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(tk, i + j) for j in range(n)]
+                    ),
+                )
             )
         )
-    )
+
+    return F.get(F.transform(F.array(toks), sh_of), 0)
 
 
 _PAIR_EXPAND_CHUNK = 128
