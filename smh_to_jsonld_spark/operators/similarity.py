@@ -24,6 +24,42 @@ def _as_double(col):
     return col.cast("array<double>")
 
 
+def _checked_sides(frame: DataFrame, id_alias: str, vec_alias: str,
+                   id_col: str, vec_col: str, dim: int):
+    """(id, vec, norm) projection with the fail-loud dim guard applied
+    ONCE PER ROW (r6, VERDICT r5 #2b — hoisted out of the per-pair CASE).
+    The norm is computed FROM the guarded vector (so a dim mismatch
+    raises the guard's error, never an ANSI index error) as the HOF
+    sqrt(aggregate(...)) — fold-order-identical to the unrolled squared
+    norm the old per-pair ``cosine_checked_sql`` denominator evaluated,
+    so downstream dot/(na*nb) is bit-identical to it."""
+    v = _as_double(F.col(vec_col))
+    checked = F.expr(vecexpr.checked_vec_sql("__v", dim))
+    return (
+        frame.select(F.col(id_col).alias(id_alias), v.alias("__v"))
+        .select(id_alias, checked.alias(vec_alias))
+        .select(
+            id_alias,
+            vec_alias,
+            F.sqrt(F.expr(vecexpr.sq_norm_hof_sql(vec_alias))).alias(
+                f"__n_{vec_alias}"
+            ),
+        )
+    )
+
+
+def _pair_cosine(qv: str, cv: str, nq: str, nc: str):
+    """Per-pair cosine from pre-joined arrays + precomputed norms: ONE
+    HOF dot per pair. Bit-identical to the r5 unrolled ``cosine_sql``
+    (same left-associative ascending fold); measured ~10x faster than
+    the unrolled straight-line form, whose generated method exceeds
+    HotSpot's JIT size limit and runs interpreted."""
+    dot = F.expr(
+        f"aggregate(zip_with({qv}, {cv}, (x, y) -> x * y), 0.0d, (p, q) -> p + q)"
+    )
+    return dot / (F.col(nq) * F.col(nc))
+
+
 def _assign_sql(vec: str, cents: list) -> str:
     """argmax-dot cell id over literal centroids (unrolled SQL; the score
     array appears twice — array_position needs the max — but whole-stage
@@ -50,16 +86,12 @@ def brute_force_topk(
     ``dim`` gets a raise_error with the observed sizes instead of the
     silent NULL-cosine/empty-top-k the non-ANSI element_at would produce.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    q = _checked_sides(queries, "query_id", "qv", id_col, vec_col, dim)
+    c = _checked_sides(corpus, "neighbor_id", "cv", id_col, vec_col, dim)
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.expr(vecexpr.cosine_checked_sql("qv", "cv", dim)).alias("cosine"),
+        _pair_cosine("qv", "cv", "__n_qv", "__n_cv").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -88,13 +120,13 @@ def lsh_topk(
     touches ~N/2^planes * (1+planes) rows instead of N.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", F.expr(vecexpr.msb_bucket_sql("cv", planes)))
+    c = _checked_sides(corpus, "neighbor_id", "cv", id_col, vec_col, dim).withColumn(
+        "bucket", F.expr(vecexpr.msb_bucket_sql("cv", planes))
+    )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket0", F.expr(vecexpr.msb_bucket_sql("qv", planes)))
+    q = _checked_sides(queries, "query_id", "qv", id_col, vec_col, dim).withColumn(
+        "bucket0", F.expr(vecexpr.msb_bucket_sql("qv", planes))
+    )
     if multiprobe:
         probes = F.array_union(
             F.array(F.col("bucket0")),
@@ -107,12 +139,12 @@ def lsh_topk(
         )
     else:
         probes = F.array(F.col("bucket0"))
-    q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    q = q.select("query_id", "qv", "__n_qv", F.explode(probes).alias("bucket"))
 
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        F.expr(vecexpr.cosine_checked_sql("qv", "cv", dim)).alias("cosine"),
+        _pair_cosine("qv", "cv", "__n_qv", "__n_cv").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -170,14 +202,11 @@ def ivf_topk(
     unseen) — the documented IVF trade.
     """
     nc = len(centroids)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    dim = len(centroids[0])
+    c = _checked_sides(corpus, "neighbor_id", "cv", id_col, vec_col, dim)
     c = c.withColumn("cell", F.expr(_assign_sql("cv", centroids)))
 
-    q0 = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    q0 = _checked_sides(queries, "query_id", "qv", id_col, vec_col, dim)
     scores = F.expr(vecexpr.score_array_sql("qv", centroids))
     pairs = F.transform(
         F.sequence(F.lit(0), F.lit(nc - 1)),
@@ -188,11 +217,11 @@ def ivf_topk(
     probes = F.transform(
         F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["ci"]
     )
-    q = q0.select("query_id", "qv", F.explode(probes).alias("cell"))
+    q = q0.select("query_id", "qv", "__n_qv", F.explode(probes).alias("cell"))
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id",
         "neighbor_id",
-        F.expr(vecexpr.cosine_checked_sql("qv", "cv", len(centroids[0]))).alias("cosine"),
+        _pair_cosine("qv", "cv", "__n_qv", "__n_cv").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
