@@ -61,11 +61,20 @@ def _pair_cosine(qv: str, cv: str, nq: str, nc: str):
 
 
 def _assign_sql(vec: str, cents: list) -> str:
-    """argmax-dot cell id over literal centroids (unrolled SQL; the score
-    array appears twice — array_position needs the max — but whole-stage
-    codegen's subexpression elimination evaluates it once)."""
+    """argmax-dot cell id over literal centroids.
+
+    r6: the score array is bound ONCE through a single-element transform
+    (the lambda variable is the binder). The r5 form inlined the array
+    twice (array_position needs the max) assuming codegen subexpression
+    elimination would dedupe it — but higher-order functions never enter
+    whole-stage codegen, and interpreted evaluation re-ran the full
+    k-centroid dot pass per reference (measured 2x the per-row cost on
+    ivf_assign/ivf_topk/kmeans)."""
     s = vecexpr.score_array_sql(vec, cents)
-    return f"CAST(array_position({s}, array_max({s})) - 1 AS INT)"
+    return (
+        f"get(transform(array({s}), "
+        f"__sc -> CAST(array_position(__sc, array_max(__sc)) - 1 AS INT)), 0)"
+    )
 
 
 def brute_force_topk(

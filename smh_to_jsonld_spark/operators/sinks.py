@@ -18,6 +18,7 @@ from __future__ import annotations
 import html
 import json
 import os
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -44,12 +45,19 @@ def _doc_file_writer(out_dir: str):
     the default NDJSON mode, which goes through Hadoop's committer."""
 
     def write_partition(rows) -> None:
-        pid = os.getpid()
+        # attempt-unique temp name (ADVICE r5): os.getpid() alone can
+        # collide across executor containers with independent PID
+        # namespaces (speculative/retried attempts of the same
+        # partition), interleaving into one torn temp file — and one
+        # attempt's cleanup could unlink the other's live temp. A uuid4
+        # per attempt makes the temp path globally unique; os.replace
+        # keeps last-full-write-wins semantics.
+        attempt = uuid.uuid4().hex
         for row in rows:
             rdir = Path(out_dir) / row.round_id
             rdir.mkdir(parents=True, exist_ok=True)
             name = row.doc_id.split("/")[-1].replace(":", "_") + ".jsonld"
-            tmp = rdir / f".{name}.{pid}.tmp"
+            tmp = rdir / f".{name}.{attempt}.tmp"
             try:
                 with open(tmp, "w") as f:
                     json.dump(json.loads(row.doc_json), f, indent=2)

@@ -379,9 +379,13 @@ def triples_from_structs(
         raise TypeError(f"{struct_col} must be a struct, got {dt}")
     sql = flatten_sql_for(dt, id_col, struct_col)
     # the parsed Column is memoized too: F.expr re-parses the (large)
-    # flatten text JVM-side on every call otherwise
+    # flatten text JVM-side on every call otherwise. Keyed on the FULL
+    # sql text (ADVICE r5): hash(sql) is a salted 64-bit hash whose
+    # collision between two doc schemas in one process would silently
+    # reuse the wrong flatten expression; the dict lives in memory
+    # anyway, so the long key costs nothing.
     exploded = exprcache.memo(
-        f"triples.flatten:{hash(sql)}",
+        f"triples.flatten:{sql}",
         lambda: F.explode(F.expr(sql)).alias("__t"),
     )
     return (

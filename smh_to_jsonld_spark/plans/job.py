@@ -192,6 +192,13 @@ def run_resumable_kg_job(
     )
     docs.unpersist()
     cons.unpersist()
+    # ADVICE r5: the pipeline-internal persists (mentions, conv_wide,
+    # field_values) must be released too — a long-lived session making
+    # repeated commits (the soak scenario) otherwise accumulates
+    # disk-spilled cache blocks per commit.
+    for key in ("mentions", "conv_wide", "field_values"):
+        if key in result:
+            result[key].unpersist()
     return manifest
 
 

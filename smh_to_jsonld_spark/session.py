@@ -54,7 +54,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SMHKG_DRIVER_MEM", "8g"))
+        # local-mode heap: the driver JVM hosts ALL executor threads, so
+        # its heap must cover cores x per-task working set. 8g at 32
+        # threads over the sf1.0 tables ran GC-bound (measured r6: the
+        # full bench session inflated small queries ~2x vs isolated runs;
+        # 16g restores isolated-run latencies). Env-overridable; on a
+        # real cluster executor memory comes from the cluster manager and
+        # this setting only sizes the (thin) driver.
+        .config("spark.driver.memory", os.environ.get("SMHKG_DRIVER_MEM", "16g"))
         # local-mode JVM flags (e.g. GC choice) — at 32 threads in ONE JVM
         # the collector is a shared resource a real per-executor-JVM
         # cluster doesn't contend on; see BENCH/BASELINE.md
