@@ -48,6 +48,8 @@ def main():
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
             (Path(explain_dir) / f"{name}_{suffix}.txt").write_text(plan)
+        if os.environ.get("SMHKG_EXPLAIN_ONLY"):
+            continue
         best = None
         samples = []
         for _ in range(trials):

@@ -13,6 +13,8 @@ Jar-fetch retry log (per-round, VERDICT r3 task 8):
   DNS still blackholed, jar unfetchable, tests below stay skipped.
 - 2026-08-17 (r5): retried `curl https://repo1.maven.org/maven2/` and
   `socket.gethostbyname` -> "Name or service not known"; unchanged.
+- 2026-08-22 (r6): retried both -> "Name or service not known";
+  unchanged, tests below stay skipped.
 """
 
 import pytest

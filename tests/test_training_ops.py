@@ -646,3 +646,93 @@ def test_embedding_lsh_capped_and_stats(spark):
     )
     stats = dedup.bucket_stats(keyed, ["b"]).collect()
     assert stats[0].bucket_size == 21 and stats[0].n_buckets == 1
+
+
+def test_shingles_r6_forms_match_r5_reference(spark):
+    """r6 perf rewrite pin: the codegen n=1 form (array_distinct(tokens))
+    and the bound-array n>1 form must emit exactly the r5 reference
+    shingle arrays — including blank, single-token, and NULL text."""
+    texts = [
+        "the quick brown fox", "one", "", "   ", None,
+        "a a a b", "x y\tz  w\nq",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def reference_shingles(text_col, n):
+        # the r5 expression verbatim (unbound element_at over the split)
+        from smh_to_jsonld_spark.operators.textstats import tokens_of
+        toks = tokens_of(F.lower(text_col))
+        k = F.size(toks) - (n - 1)
+        return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
+                )
+            )
+        )
+
+    for n in (1, 2, 3):
+        got = df.select(
+            "doc_id", dedup.shingles(F.col("text"), n).alias("s")
+        ).collect()
+        want = df.select(
+            "doc_id", reference_shingles(F.col("text"), n).alias("s")
+        ).collect()
+        assert [(r.doc_id, r.s) for r in got] == [
+            (r.doc_id, r.s) for r in want
+        ], f"n={n}"
+
+
+def test_bucket_pairs_with_and_without_sz_match(spark):
+    """r6: the with_sz=False fast path (no payload in the collected
+    structs) must emit the same (id_a, id_b) set as the payload form."""
+    from smh_to_jsonld_spark.operators.dedup import _bucket_pairs
+
+    rows = [(i, 1, i % 3) for i in range(40)] + [(100 + i, 1, 9) for i in range(150)]
+    keyed = spark.createDataFrame(rows, "id long, sz int, g long")
+    a = {(r.id_a, r.id_b) for r in _bucket_pairs(keyed, ["g"], None).collect()}
+    b = {
+        (r.id_a, r.id_b)
+        for r in _bucket_pairs(keyed, ["g"], None, with_sz=False).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_language_id_null_and_tie_semantics(spark):
+    """r6 rewrite pin: NULL text -> 'und'; equal-score ties resolve in
+    dictionary order en > es > fr > de (first max wins)."""
+    rows = [
+        (0, None),                      # NULL -> und
+        (1, "la"),                      # es/fr tie (la in both) -> es
+        (2, "the el"),                  # en/es tie -> en
+        (3, ""),                        # no tokens -> und
+        (4, "der die das und ein ist"), # de
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.l
+        for r in df.select(
+            "doc_id", textstats.language_id(F.col("text")).alias("l")
+        ).collect()
+    }
+    assert got == {0: "und", 1: "es", 2: "en", 3: "und", 4: "de"}
+
+
+def test_repetition_features_degenerate_inputs(spark):
+    """r6 rewrite pin: blank/NULL/single-token texts keep ratio 0.0 (the
+    r5 token_count-based totals and the r6 size-based totals only differ
+    on inputs where both yield 0)."""
+    rows = [(0, ""), (1, "   "), (2, None), (3, "one"), (4, "a a a a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_line_ratio, r.dup_2gram_ratio, r.dup_3gram_ratio)
+        for r in textstats.repetition_features(df).collect()
+    }
+    for i in (0, 1, 2, 3):
+        assert got[i] == (0.0, 0.0, 0.0), i
+    assert got[4][1] > 0.5  # "a a" repeated 2-grams
