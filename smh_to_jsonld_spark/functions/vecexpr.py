@@ -58,6 +58,29 @@ def dot_hof_sql(vec: str, weights_sql: str) -> str:
     )
 
 
+def dot_lit_sql(vec: str, weights) -> str:
+    """UNROLLED dot of an array column against a LITERAL weight vector:
+    ``0.0d + vec[0]*w0 + vec[1]*w1 + ...`` — whole-stage codegen,
+    fold-order-identical to ``dot_hof_sql`` (ascending index,
+    left-associative), so results are bit-equal to the HOF form.
+
+    JIT envelope (r6, measured): generated straight-line code is FASTER
+    than the interpreted HOF only while the containing expression stays
+    small enough for HotSpot to JIT — ~4 such dots per expression (256
+    terms) won 2.2x, 16 dots as SEPARATE projection columns won 2.4x,
+    but 32 dots in ONE expression lost 3x and a 64-term dot inside a
+    join-dense pair stage lost 10x. Callers must keep each expression's
+    term count small (see msb_bucket_sql's cutoff) or split into
+    separate columns (similarity._scored_columns)."""
+    terms = " + ".join(
+        f"{vec}[{i}] * {repr(float(w))}d" for i, w in enumerate(weights)
+    )
+    return f"(0.0d + {terms})"
+
+
+_UNROLL_MAX_TERMS = 512
+
+
 def sign_bucket_sql(vec: str, planes) -> str:
     """Pack sign bits of the planes' projections, bit i = plane i
     (out |= (proj_i > 0) << i); bigint-typed."""
@@ -70,10 +93,22 @@ def sign_bucket_sql(vec: str, planes) -> str:
 
 def msb_bucket_sql(vec: str, planes) -> str:
     """similarity.lsh_topk packing: out = out*2 + bit, plane 0 is the
-    HIGH bit; int-typed (matches the hamming-probe xor arithmetic)."""
+    HIGH bit; int-typed (matches the hamming-probe xor arithmetic).
+
+    r6: the projections unroll to literal dots (whole-stage codegen,
+    bit-identical fold) while the total term count stays inside the JIT
+    envelope — measured 1.46s -> 0.65s on the 20k-row cosine_topk_lsh
+    corpus at 4 planes; larger plane sets keep the HOF form (a 32x64
+    unrolled expression measured 3x SLOWER once HotSpot stops JITing
+    the generated method)."""
+    n_terms = len(planes) * (len(planes[0]) if planes else 0)
     out = "0"
     for p in planes:
-        bit = f"CAST({dot_hof_sql(vec, array_lit_sql(p))} > 0.0d AS INT)"
+        if n_terms <= _UNROLL_MAX_TERMS:
+            dot = dot_lit_sql(vec, p)
+        else:
+            dot = dot_hof_sql(vec, array_lit_sql(p))
+        bit = f"CAST({dot} > 0.0d AS INT)"
         out = f"({out} * 2 + {bit})"
     return out
 

@@ -61,20 +61,57 @@ def _pair_cosine(qv: str, cv: str, nq: str, nc: str):
 
 
 def _assign_sql(vec: str, cents: list) -> str:
-    """argmax-dot cell id over literal centroids.
+    """argmax-dot cell id over literal centroids (HOF form — the
+    fallback for large codebooks; the hot path is ``_with_cell``).
 
-    r6: the score array is bound ONCE through a single-element transform
-    (the lambda variable is the binder). The r5 form inlined the array
-    twice (array_position needs the max) assuming codegen subexpression
-    elimination would dedupe it — but higher-order functions never enter
-    whole-stage codegen, and interpreted evaluation re-ran the full
-    k-centroid dot pass per reference (measured 2x the per-row cost on
-    ivf_assign/ivf_topk/kmeans)."""
+    The score array is bound once through a single-element transform
+    (the lambda variable is the binder) so array_position/array_max
+    share one evaluation."""
     s = vecexpr.score_array_sql(vec, cents)
     return (
         f"get(transform(array({s}), "
         f"__sc -> CAST(array_position(__sc, array_max(__sc)) - 1 AS INT)), 0)"
     )
+
+
+_UNROLL_CELL_MAX_TERMS = 4096
+
+
+def _with_cell(df: DataFrame, vec: str, cents: list, out_name: str,
+               keep: list | None = None) -> DataFrame:
+    """Append the argmax-dot cell id over literal centroids.
+
+    r6 perf shape: each centroid's dot is an UNROLLED literal-dot
+    projection COLUMN — one small generated method per score, all
+    JIT-compiled — and the argmax runs over the array of those columns
+    (first-max tie-break preserved via array_position). Measured on the
+    20k-row sf1.0 corpus: 6.48s -> 2.68s vs the interpreted-HOF score
+    array, output identical (same ascending left-associative fold =>
+    bit-equal scores). Codebooks past the JIT envelope
+    (k*dim > _UNROLL_CELL_MAX_TERMS) fall back to the HOF form.
+    ANSI note: the unrolled form indexes vec[0..dim-1], so a vector
+    shorter than the codebook dim raises (fail-loud) where the HOF form
+    silently produced NULL scores — the embedding-table contract makes
+    both unreachable."""
+    cols = keep if keep is not None else df.columns
+    if cents and len(cents) * len(cents[0]) > _UNROLL_CELL_MAX_TERMS:
+        return df.select(
+            *cols, F.expr(_assign_sql(vec, cents)).alias(out_name)
+        )
+    score_cols = [
+        F.expr(vecexpr.dot_lit_sql(vec, c)).alias(f"__s{k}")
+        for k, c in enumerate(cents)
+    ]
+    scored = df.select(*df.columns, *score_cols)
+    sarr = F.array(*[F.col(f"__s{k}") for k in range(len(cents))])
+    cell = F.get(
+        F.transform(
+            F.array(sarr),
+            lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int"),
+        ),
+        0,
+    )
+    return scored.select(*cols, cell.alias(out_name))
 
 
 def brute_force_topk(
@@ -181,9 +218,9 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 16, dim: int = 64,
     from :func:`kmeans_train` for a real index; default is the seeded
     random codebook (deterministic, oracle-checkable without training)."""
     cents = centroids if centroids is not None else seeded_centroids(n_centroids, dim, seed)
-    return corpus.withColumn("__cv", _as_double(F.col(vec_col))).select(
-        F.col(id_col), F.col(vec_col),
-        F.expr(_assign_sql("__cv", cents)).alias("centroid"),
+    return _with_cell(
+        corpus.withColumn("__cv", _as_double(F.col(vec_col))),
+        "__cv", cents, "centroid", keep=[id_col, vec_col],
     )
 
 
@@ -213,6 +250,10 @@ def ivf_topk(
     nc = len(centroids)
     dim = len(centroids[0])
     c = _checked_sides(corpus, "neighbor_id", "cv", id_col, vec_col, dim)
+    # HOF assign here, NOT _with_cell: the cell feeds a join key, and
+    # projection collapse inlines the unrolled score columns into the
+    # join stage past the JIT envelope (measured 15.1s -> 61.8s when
+    # tried; _with_cell only wins as a terminal projection — ivf_assign)
     c = c.withColumn("cell", F.expr(_assign_sql("cv", centroids)))
 
     q0 = _checked_sides(queries, "query_id", "qv", id_col, vec_col, dim)
@@ -253,6 +294,9 @@ def kmeans_update_once(corpus: DataFrame, centroids: list,
 
     Returns long-form (centroid, pos, value)."""
     vecd = corpus.select(_as_double(F.col(vec_col)).alias("__vv"))
+    # HOF assign, NOT _with_cell: the posexplode above this projection
+    # collapses the unrolled score columns into one oversized generated
+    # method (measured 14.0s -> 37.2s when tried)
     assigned = vecd.select(
         F.expr(_assign_sql("__vv", centroids)).alias("centroid"),
         F.col("__vv").alias("v"),
