@@ -20,10 +20,16 @@ Two codegen regimes, chosen per use:
   before the interpreted fallback kicks in (measured: that overhead, not
   the math, dominated these queries).
 
-- **Per-candidate-pair cosine** (``cosine_sql`` over two array columns):
-  runs once per CANDIDATE PAIR (hundreds of thousands at dense
-  thresholds), so it is unrolled into straight-line arithmetic — ~200
-  generated lines, compiles fine, whole-stage codegen with no boxing.
+- **Per-candidate-pair cosine**: r6 measurement REVERSED the r5 choice
+  here — the unrolled 64-term straight-line form compiles (janino is
+  fine) but exceeds HotSpot's JIT method-size envelope inside join-dense
+  pair stages and runs as interpreted bytecode (measured 10x slower
+  than the HOF fold on 493k pairs). The pair hot loops therefore use
+  ONE HOF dot with the norms hoisted to once-per-vector projections
+  (bit-identical: same fold); ``cosine_sql``/``dot_vec_sql`` remain as
+  the documented reference forms. Unrolling still wins where the
+  per-expression term count is small or split across projection
+  columns — see ``dot_lit_sql``'s JIT-envelope note.
 
 Floating-point parity: the HOF forms are the ORIGINAL implementations
 verbatim (same fold), and the unrolled cosine sums left-associative in

@@ -462,11 +462,12 @@ def embedding_neardup_pairs(
     buckets are observable via ``bucket_stats`` (no silent truncation:
     log them at the call site).
 
-    All vector math is UNROLLED fixed-dim SQL (functions.vecexpr): the
-    (k, L) projections and the exact-cosine verification run inside
-    whole-stage codegen with bit-identical results to the old
-    interpreted-HOF forms (same fold order) at a fraction of both the
-    plan-build and execution cost.
+    Vector math (r6): the (k, L) projections stay HOF dots (a fully
+    unrolled 32x64 keying expression measured 3x SLOWER — it falls out
+    of HotSpot's JIT envelope; see functions.vecexpr), and verification
+    hoists the L2 norms to once-per-vector projections so the per-pair
+    hot loop is a single HOF dot — bit-identical to a per-pair cosine
+    (same fold order) at a third of the per-pair aggregate work.
     """
     from smh_to_jsonld_spark.functions import vecexpr
 

@@ -126,11 +126,12 @@ def brute_force_topk(
 
     Output: (query_id, neighbor_id, rank, cosine).
     Deterministic tie-break: cosine desc, neighbor_id asc.
-    Scoring is the unrolled fixed-``dim`` cosine (functions.vecexpr) —
-    whole-stage codegen, bit-identical to the HOF fold — wrapped in a
-    size(vec)==dim guard (ADVICE r4): a caller whose vectors don't match
-    ``dim`` gets a raise_error with the observed sizes instead of the
-    silent NULL-cosine/empty-top-k the non-ANSI element_at would produce.
+    Scoring (r6): the size(vec)==dim guard and the L2 norms are applied
+    ONCE PER ROW before the cross join (``_checked_sides``); the
+    per-pair hot loop is a single HOF dot (``_pair_cosine``) —
+    bit-identical to the r5 per-pair checked cosine, at a third of the
+    per-pair aggregate work. A dim mismatch still raises with the
+    observed size (ADVICE r4 contract).
     """
     q = _checked_sides(queries, "query_id", "qv", id_col, vec_col, dim)
     c = _checked_sides(corpus, "neighbor_id", "cv", id_col, vec_col, dim)
