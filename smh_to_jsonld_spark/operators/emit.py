@@ -331,6 +331,19 @@ def consolidated_round_docs(
     - v6: 1 disease => object, >1 => array (create_jsonld_v6_0_0.py:425-428)
     - v5: LAST disease wins, always an object (utils/jsonld.py:223-231)
     """
+    joined = _docs_with_diseases(docs, diseases)
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        round_id, doc_id, consolidated = _assemble_consolidated(pdf, dialect)
+        return pd.DataFrame(
+            [(round_id, doc_id, json.dumps(consolidated))],
+            columns=["round_id", "doc_id", "doc_json"],
+        )
+
+    return joined.groupBy("round_id").applyInPandas(assemble, schema=CONSOLIDATED_SCHEMA)
+
+
+def _docs_with_diseases(docs: DataFrame, diseases: DataFrame) -> DataFrame:
     dz_agg = exprcache.memo(
         "emit.dz_agg",
         lambda: F.to_json(
@@ -343,55 +356,85 @@ def consolidated_round_docs(
         ).alias("diseases_json"),
     )
     disease_arrays = diseases.groupBy("round_id").agg(dz_agg)
-    joined = docs.join(disease_arrays, "round_id", "left")
+    return docs.join(disease_arrays, "round_id", "left")
 
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        round_id = pdf["round_id"].iloc[0]
-        dj = pdf["diseases_json"].iloc[0]
-        diseases_list = json.loads(dj) if isinstance(dj, str) else []
-        consolidated = {
-            "@context": "https://schema.org/",
-            "@type": "Dataset",
-            "name": f"Round {round_id} Scenario Projection Models Collection",
-            "description": f"Collection of model output from round {round_id}",
-            "identifier": round_id,
-            "roundId": round_id,
-            "hasPart": [],
-            "workExample": {
-                "@type": [
-                    "Dataset",
-                    "https://midasnetwork.us/ontology/class-datasetsmidas97.html",
-                    "https://midasnetwork.us/ontology/class-oboobcs_0000267.html",
-                ],
-                "description": "RSV disease projection outputs",
-            },
-        }
-        if dialect == "v6":
-            entries = [
-                {"@type": "MedicalCondition", "name": d.get("name"), "uri": d.get("uri")}
-                for d in diseases_list
-                if d.get("name") or d.get("uri")
-            ]
-            if len(entries) == 1:
-                consolidated["healthCondition"] = entries[0]
-            elif entries:
-                consolidated["healthCondition"] = entries
-        else:  # v5: loop overwrites => last disease wins
-            for d in diseases_list:
-                consolidated["healthCondition"] = {
-                    "@type": "MedicalCondition",
-                    "name": d.get("name"),
-                    "uri": d.get("uri"),
-                }
-        for doc_json in pdf.sort_values("model_name")["doc_json"]:
-            consolidated["hasPart"].append(json.loads(doc_json))
-        consolidated["numberOfItems"] = len(consolidated["hasPart"])
-        return pd.DataFrame(
-            [(round_id, f"doc:round_{round_id}", json.dumps(consolidated))],
-            columns=["round_id", "doc_id", "doc_json"],
-        )
 
-    return joined.groupBy("round_id").applyInPandas(assemble, schema=CONSOLIDATED_SCHEMA)
+def _assemble_consolidated(pdf: pd.DataFrame, dialect: str):
+    """One round's consolidated document as a Python dict — the shared
+    group body of ``consolidated_round_docs`` (emits its JSON) and
+    ``consolidated_round_triples`` (flattens it in the same stage)."""
+    round_id = pdf["round_id"].iloc[0]
+    dj = pdf["diseases_json"].iloc[0]
+    diseases_list = json.loads(dj) if isinstance(dj, str) else []
+    consolidated = {
+        "@context": "https://schema.org/",
+        "@type": "Dataset",
+        "name": f"Round {round_id} Scenario Projection Models Collection",
+        "description": f"Collection of model output from round {round_id}",
+        "identifier": round_id,
+        "roundId": round_id,
+        "hasPart": [],
+        "workExample": {
+            "@type": [
+                "Dataset",
+                "https://midasnetwork.us/ontology/class-datasetsmidas97.html",
+                "https://midasnetwork.us/ontology/class-oboobcs_0000267.html",
+            ],
+            "description": "RSV disease projection outputs",
+        },
+    }
+    if dialect == "v6":
+        entries = [
+            {"@type": "MedicalCondition", "name": d.get("name"), "uri": d.get("uri")}
+            for d in diseases_list
+            if d.get("name") or d.get("uri")
+        ]
+        if len(entries) == 1:
+            consolidated["healthCondition"] = entries[0]
+        elif entries:
+            consolidated["healthCondition"] = entries
+    else:  # v5: loop overwrites => last disease wins
+        for d in diseases_list:
+            consolidated["healthCondition"] = {
+                "@type": "MedicalCondition",
+                "name": d.get("name"),
+                "uri": d.get("uri"),
+            }
+    for doc_json in pdf.sort_values("model_name")["doc_json"]:
+        consolidated["hasPart"].append(json.loads(doc_json))
+    consolidated["numberOfItems"] = len(consolidated["hasPart"])
+    return round_id, f"doc:round_{round_id}", consolidated
+
+
+def consolidated_round_triples(
+    docs: DataFrame, diseases: DataFrame, dialect: str = "v6"
+) -> DataFrame:
+    """Fused assemble+flatten (r6 perf): the consolidated doc is built
+    AND flattened to (subj, pred, obj, round_id) inside ONE grouped
+    Python stage — the unfused path (``consolidated_round_docs`` →
+    ``triples_from_docs``) paid a second Python stage plus an exchange
+    and a JSON dump/re-parse just to hand the dict to the flattener.
+    Calls the SAME ``_assemble_consolidated`` and the SAME
+    ``flatten_doc`` rules, so triples are identical by construction
+    (``json.dumps``/``loads`` round-trips the dict to itself — strings,
+    ints, lists, dicts only); pinned by
+    ``test_consolidated_triples_fused_matches_unfused``."""
+    from smh_to_jsonld_spark.operators.triples import flatten_doc
+
+    joined = _docs_with_diseases(docs, diseases)
+
+    def assemble_flatten(pdf: pd.DataFrame) -> pd.DataFrame:
+        round_id, doc_id, consolidated = _assemble_consolidated(pdf, dialect)
+        rows = [
+            (s, p, o, round_id)
+            for s, p, o in flatten_doc(consolidated, doc_id)
+        ]
+        return pd.DataFrame(rows, columns=["subj", "pred", "obj", "round_id"])
+
+    return joined.groupBy("round_id").applyInPandas(
+        assemble_flatten,
+        schema="subj string, pred string, obj string, round_id string",
+    )
 
 
 def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:

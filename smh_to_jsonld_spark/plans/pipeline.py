@@ -19,10 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from smh_to_jsonld_spark.operators import aggregates, emit, extract, link
-from smh_to_jsonld_spark.operators.triples import (
-    triples_from_docs,
-    triples_from_structs,
-)
+from smh_to_jsonld_spark.operators.triples import triples_from_structs
 
 
 def hub_pipeline_from_frames(
@@ -72,15 +69,17 @@ def hub_pipeline_from_frames(
         docs.select("round_id", "model_name", "doc_json"), diseases, dialect=dialect
     )
     # model docs flatten JVM-side over the TYPED struct (no JSON re-parse,
-    # no Python stage); consolidated docs are pandas-built JSON strings
-    # (one per round) so they keep the Arrow flattener. Same triple rules,
-    # pinned equivalent by tests/test_triples.py.
+    # no Python stage); consolidated docs assemble AND flatten in ONE
+    # grouped Python stage (emit.consolidated_round_triples, r6) — the
+    # unfused consolidated->triples_from_docs path paid a second Python
+    # stage + exchange per action. Same triple rules, pinned equivalent
+    # by tests/test_triples.py (fused-vs-unfused test).
     model_triples = triples_from_structs(
         docs.select("doc_id", "doc_struct", "round_id"), passthrough=["round_id"]
     )
-    cons_triples = triples_from_docs(
-        consolidated.select("doc_id", "doc_json", "round_id"),
-        passthrough=["round_id"],
+    cons_triples = emit.consolidated_round_triples(
+        docs.select("round_id", "model_name", "doc_json"), diseases,
+        dialect=dialect,
     )
     triples = model_triples.union(cons_triples)
     return {

@@ -99,3 +99,42 @@ def test_struct_flatten_passthrough_and_union_shape(spark):
     assert out.columns == ["subj", "pred", "obj", "round_id"]
     assert out.count() == 3
     assert out.filter(F.col("round_id") == "2031-01-05").count() == 3
+
+
+def test_consolidated_triples_fused_matches_unfused(spark):
+    """r6 perf fusion pin: consolidated_round_triples (assemble+flatten
+    in one grouped Python stage) must emit exactly the triples of the
+    unfused consolidated_round_docs -> triples_from_docs chain, both
+    dialects, on the fixture corpus."""
+    from smh_to_jsonld_spark.operators import emit
+    from smh_to_jsonld_spark.operators.triples import triples_from_docs
+    from smh_to_jsonld_spark.plans.pipeline import kg_pipeline_from_transcripts
+    from smh_to_jsonld_spark.sources import synth
+
+    spec = synth.corpus_spec()
+    for dialect in ("v6", "v5"):
+        res = kg_pipeline_from_transcripts(
+            spark,
+            synth.transcripts_df(spark, spec),
+            synth.target_metadata_df(spark, spec),
+            synth.diseases_df(spark, spec),
+            dialect=dialect,
+        )
+        docs = res["model_docs"]
+        diseases = synth.diseases_df(spark, spec)
+        fused = emit.consolidated_round_triples(
+            docs.select("round_id", "model_name", "doc_json"), diseases,
+            dialect=dialect,
+        )
+        unfused = triples_from_docs(
+            emit.consolidated_round_docs(
+                docs.select("round_id", "model_name", "doc_json"), diseases,
+                dialect=dialect,
+            ).select("doc_id", "doc_json", "round_id"),
+            passthrough=["round_id"],
+        )
+        a = sorted(map(tuple, fused.collect()))
+        b = sorted(map(tuple, unfused.collect()))
+        assert a == b and len(a) > 0, dialect
+        for key in ("mentions", "conv_wide", "model_docs", "field_values"):
+            res[key].unpersist()
